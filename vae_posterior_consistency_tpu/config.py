@@ -1,0 +1,192 @@
+"""Run configuration: dataclasses + JSONL/argparse parity layer.
+
+The reference drives every run from JSON-lines config files where each line maps
+arg-name -> {type, default, help} and is bridged to argparse
+(reference: src/utils/utils.py:177-189 `setup_parser`; entry scripts iterate the
+JSONL records, reference: src/experiment_main/imputation.py:21-27). The `vae_type`
+string is the master switch: model-family substring, an embedded digit selecting
+the data split, and behavior suffixes `_mask_augm` / `_with_drop`
+(reference: src/utils/loaders.py:19-246, 322; src/experiment_main/train.py:32-58).
+
+This module reproduces that contract on top of typed dataclasses.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Any, Iterator
+
+
+def str2bool(v: Any) -> bool:
+    """Lenient bool parsing (reference: src/utils/utils.py:165-173)."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("yes", "true", "t", "y", "1"):
+        return True
+    if s in ("no", "false", "f", "n", "0", ""):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
+    """Build an argparse parser from a JSONL config record.
+
+    Matches the reference contract (src/utils/utils.py:177-189): every key becomes
+    a single-dash flag `-<name>` typed after its default, so CLI flags can override
+    any config value.
+    """
+    parser = argparse.ArgumentParser(
+        description=title, formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    for key, value in arguments.items():
+        default = value["default"]
+        typ = str2bool if isinstance(default, bool) else type(default)
+        parser.add_argument(
+            "-%s" % key, type=typ, help=value.get("help", ""), default=default
+        )
+    return parser
+
+
+def iter_jsonl_configs(path: str) -> Iterator[dict]:
+    """Yield per-run config records from a JSON-lines file, skipping blanks."""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            yield json.loads(line)
+
+
+# ---------------------------------------------------------------------------
+# vae_type string contract
+# ---------------------------------------------------------------------------
+
+#: model-family precedence, mirroring the reference factory's substring dispatch
+#: order (src/utils/loaders.py:19-245): `flow` wins over `reg_vae`, the final
+#: fallback is MIWAE.
+FAMILY_PRECEDENCE = (
+    "flow",
+    "reg_vae",
+    "reg_notMIWAE",
+    "reg_EDDI",
+    "reg_MIWAE",
+    "vanilla_vae",
+    "vanilla_EDDI",
+    "vanilla_notMIWAE",
+    "MIWAE",  # fallback (also matches vanilla_MIWAE)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VaeTypeInfo:
+    """Decomposition of a `vae_type` string into its dispatch coordinates."""
+
+    raw: str
+    family: str  # one of FAMILY_PRECEDENCE
+    regularized: bool  # reg_* family (trains a p-branch)
+    flow: bool
+    split_index: str  # first digit found in the string ('' if none)
+    mask_augmented: bool  # `_mask_augm` suffix -> mask-concat encoder input
+    with_drop: bool  # `_with_drop` suffix -> EDDI dropout masks in training
+
+
+def parse_vae_type(vae_type: str) -> VaeTypeInfo:
+    """Parse the `vae_type` master-switch string.
+
+    Dispatch-order parity with the reference factory (src/utils/loaders.py:19-245)
+    and split-index extraction parity with its data loaders
+    (src/utils/loaders.py:322: "first digit found in vae_type").
+    """
+    family = "MIWAE"
+    for cand in FAMILY_PRECEDENCE:
+        if cand in vae_type:
+            if cand == "flow" and "reg_flow" in vae_type:
+                family = "reg_flow"
+            elif cand == "flow":
+                family = "vanilla_flow"
+            else:
+                family = cand
+            break
+    digits = [c for c in vae_type if c.isdigit()]
+    return VaeTypeInfo(
+        raw=vae_type,
+        family=family,
+        regularized=family.startswith("reg"),
+        flow="flow" in vae_type,
+        split_index=digits[0] if digits else "",
+        mask_augmented="mask_augm" in vae_type,
+        with_drop="with_drop" in vae_type,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed run config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """One experiment run. Field names/defaults follow the reference JSONL schema
+    (Data/imputation_args.json line 1)."""
+
+    missing_rate: int = 50
+    vae_type: str = "reg_vae1"
+    experiment_type: str = "UCI_experiments_consistency_missingness"
+    reg_type: str = "kl_reg"  # 'kl_reg' | 'ml_reg'
+    data_type: str = "wine"
+    epoch: int = 3000
+    batch_size: int = 64
+    patience: int = 100
+    data_path: str = "Data"
+    K: int = 10  # PointNet feature-map dim
+    M: int = 1  # MC samples for imputation/eval
+    latent_dim: int = 10
+    hid_dim: int = 500
+    train_k: int = 20  # IWAE samples during training
+    valid_k: int = 5000  # IWAE samples during validation
+    n_iwae: int = 50
+    n_ais_iwae: int = 40
+    ais_schedule: str = "linear"
+    n_ais_dist: int = 50
+    num_estimates: int = 100
+    beta_annealing: bool = False
+    alpha_annealing: bool = True
+    # sweep-level knobs (reference hard-codes these loops: imputation.py:23-24)
+    alpha: float = 1.0
+    p_missingness: int = 30
+    beta: float = 1.0
+    seed: int = 0
+    data_transform: str = "minmax"  # 'minmax' | 'stand'
+    not_miwae_type: str = "changed"  # 'changed' | 'author'
+
+    @property
+    def info(self) -> VaeTypeInfo:
+        return parse_vae_type(self.vae_type)
+
+    @classmethod
+    def from_args(cls, args: argparse.Namespace, **overrides) -> "RunConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: v for k, v in vars(args).items() if k in fields}
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def from_jsonl_record(cls, record: dict, **overrides) -> "RunConfig":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for key, value in record.items():
+            if key in fields:
+                default = value["default"]
+                if isinstance(getattr(cls, key, None), bool) or key.endswith(
+                    "_annealing"
+                ):
+                    default = str2bool(default)
+                kw[key] = default
+        kw.update(overrides)
+        return cls(**kw)
+
+    def replace(self, **kw) -> "RunConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,176 @@
+"""Gaussian-posterior VAE family: plain / mask-augmented / EDDI-PointNet encoders,
+sigmoid decoder with fixed observation variance, ELBO + posterior-consistency
+regularizers.
+
+Covers the behavior of 8 reference classes with one parameterized implementation:
+  Reg_VAE            (reference: src/models/VAE.py:350-507)
+  Reg_VAE_mask       (reference: src/models/VAE.py:510-667)
+  Reg_EDDI           (reference: src/models/VAE.py:670-853)
+  Reg_EDDI_mnist     (reference: src/models/VAE.py:10-201)
+  vanilla_VAE        (reference: src/models/VAE.py:1119-1240)
+  vanilla_VAE_mask   (reference: src/models/VAE.py:995-1116)
+  vanilla_EDDI       (reference: src/models/VAE.py:856-992)
+  vanilla_EDDI_mnist (reference: src/models/VAE.py:204-347)
+
+Loss parity notes (canonical form at reference VAE.py:92-162):
+- The reconstruction term multiplies targets, means AND the (constant) logvar by
+  the mask before the Gaussian log-prob, exactly as the reference does — masked
+  cells therefore contribute the constant -log N(0|0,1) each, which keeps saved
+  ELBO artifacts bit-comparable.
+- `kl_reg`:  loss = loss_q + alpha*(KL(q||p) - loss_q + loss_p + RE_q[mask&~mask_p])
+  (reference: VAE.py:441-446).
+- `ml_reg`:  loss = loss_q - (epoch/2800)*alpha*log N(z_q; mu_p, sigma_p) with a
+  fresh z_q sample (reference: VAE.py:435-440); the annealing constant is the
+  hard-coded max_epoch=2800 (reference: VAE.py:384), independent of the config
+  epoch count.
+- beta-annealing scales KL by epoch/2800 (reference: VAE.py:429-431).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vae_posterior_consistency_tpu.models import layers
+from vae_posterior_consistency_tpu.ops.math import (
+    FIXED_X_LOGVAR,
+    kl_diag_diag,
+    kl_diag_std,
+    neg_gaussian_log_likelihood,
+    reparameterize,
+)
+
+#: annealing denominator hard-coded by the reference (src/models/VAE.py:58,384)
+MAX_EPOCH_ANNEAL = 2800.0
+
+
+def _encoder_fns(cfg):
+    info = cfg.info
+    mnist = cfg.data_type == "mnist"
+    if "EDDI" in cfg.vae_type or "mnist" in cfg.vae_type:
+        trunk = (500, 500, 200) if mnist else (100, 50)
+
+        def init(key, obs_dim):
+            return layers.pointnet_encoder_init(
+                key, obs_dim, cfg.latent_dim, cfg.K, trunk_widths=trunk
+            )
+
+        return init, layers.pointnet_encoder_apply
+    if info.mask_augmented:
+        def init(key, obs_dim):
+            return layers.dense_mask_encoder_init(key, obs_dim, cfg.latent_dim)
+
+        return init, layers.dense_mask_encoder_apply
+
+    def init(key, obs_dim):
+        return layers.dense_encoder_init(key, obs_dim, cfg.latent_dim)
+
+    return init, layers.dense_encoder_apply
+
+
+def _decoder_widths(cfg):
+    return (200, 500, 500) if cfg.data_type == "mnist" else (50, 100)
+
+
+def init(key, cfg, obs_dim):
+    k_enc, k_dec = jax.random.split(key)
+    enc_init, _ = _encoder_fns(cfg)
+    return {
+        "encoder": enc_init(k_enc, obs_dim),
+        "decoder": layers.sigmoid_decoder_init(
+            k_dec, obs_dim, cfg.latent_dim, widths=_decoder_widths(cfg)
+        ),
+    }
+
+
+def encode(params, x, mask, cfg):
+    """(mean, logvar) of q(z | x, mask) — also the AL information-reward hook
+    (reference: src/experiment_main/evaluate.py:562-583 uses encoder stats only)."""
+    _, enc_apply = _encoder_fns(cfg)
+    return enc_apply(params["encoder"], x, mask)
+
+
+def decode(params, z):
+    """Sigmoid mean + fixed observation logvar (reference: VAE.py:397-401, 379)."""
+    x_mean = layers.sigmoid_decoder_apply(params["decoder"], z)
+    return x_mean, jnp.full_like(x_mean, FIXED_X_LOGVAR)
+
+
+def forward(params, x, mask, key, cfg):
+    mean, logvar = encode(params, x, mask, cfg)
+    z = reparameterize(key, mean, logvar)
+    x_mean, x_logvar = decode(params, z)
+    return {"mean": mean, "logvar": logvar, "z": z, "x_mean": x_mean,
+            "x_logvar": x_logvar}
+
+
+def _masked_re(x, x_mean, x_logvar, m):
+    """Reconstruction NLL with the reference's mask-everything convention
+    (reference: VAE.py:422-426)."""
+    return neg_gaussian_log_likelihood(x * m, x_mean * m, x_logvar * m)
+
+
+def _anneal(epoch, on):
+    return jnp.where(on, epoch / MAX_EPOCH_ANNEAL, 1.0)
+
+
+def train_loss(params, x, mask, mask_p, key, epoch, cfg):
+    """Per-batch training loss (stage='train' path of reference VAE.py:403-452).
+
+    For vanilla (non-reg) types `mask_p` is ignored and the plain ELBO is used
+    (reference: VAE.py:1171-1196)."""
+    B = x.shape[0]
+    info = cfg.info
+    kq, kp, kz = jax.random.split(key, 3)
+    beta_scale = _anneal(epoch, cfg.beta_annealing) * cfg.beta
+
+    out_q = forward(params, x, mask, kq, cfg)
+    RE_q = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask)
+    KL_q = kl_diag_std(out_q["mean"], out_q["logvar"])
+    loss_q = RE_q + beta_scale * KL_q
+
+    if not info.regularized:
+        loss = loss_q / B
+        return loss, {"RE_q": RE_q / B, "KL_q": KL_q / B}
+
+    out_p = forward(params, x, mask_p, kp, cfg)
+    RE_p = _masked_re(x, out_p["x_mean"], out_p["x_logvar"], mask_p)
+    KL_p = kl_diag_std(out_p["mean"], out_p["logvar"])
+    loss_p = RE_p + beta_scale * KL_p
+
+    if cfg.reg_type == "ml_reg":
+        z_q = reparameterize(kz, out_q["mean"], out_q["logvar"])
+        z_loglike = -neg_gaussian_log_likelihood(z_q, out_p["mean"], out_p["logvar"])
+        loss = loss_q - (epoch / MAX_EPOCH_ANNEAL) * cfg.alpha * z_loglike
+    elif cfg.reg_type == "kl_reg":
+        KL_reg = kl_diag_diag(
+            out_q["mean"], out_q["logvar"], out_p["mean"], out_p["logvar"]
+        )
+        extra_mask = mask * (1.0 - mask_p)
+        RE_extra = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], extra_mask)
+        loss = loss_q + cfg.alpha * (KL_reg - loss_q + loss_p + RE_extra)
+    else:
+        raise NotImplementedError(f"reg_type={cfg.reg_type!r}")
+    loss = loss / B
+    return loss, {"RE_q": RE_q / B, "KL_q": KL_q / B, "RE_p": RE_p / B,
+                  "KL_p": KL_p / B}
+
+
+def eval_step(params, x, mask, mask_p, key, cfg, epoch=None):
+    """stage='evaluate' + llh_eval=True semantics (reference: VAE.py:410-420,
+    455-456): returns the imputation (x_mean_q), the per-row-normalized ELBO
+    loss, and observed/imputed negative log-likelihoods."""
+    B = x.shape[0]
+    epoch = cfg.epoch if epoch is None else epoch
+    out_q = forward(params, x, mask, key, cfg)
+    RE_q = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask)
+    RE_imp = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], 1.0 - mask)
+    KL_q = kl_diag_std(out_q["mean"], out_q["logvar"])
+    beta_scale = _anneal(jnp.asarray(epoch, jnp.float32), cfg.beta_annealing) * cfg.beta
+    loss_q = RE_q + beta_scale * KL_q
+    return {
+        "x_imputed": out_q["x_mean"],
+        "elbo_loss": loss_q / B,
+        "negl": RE_q / B,
+        "negl_imp": RE_imp / B,
+    }

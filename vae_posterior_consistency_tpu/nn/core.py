@@ -1,0 +1,94 @@
+"""Minimal functional NN core: parameter pytrees + pure apply functions.
+
+No stateful module framework: parameters are plain nested dicts of jnp arrays
+(ideal for pjit sharding annotations, `vmap` over model ensembles, and donation),
+apply functions are pure. Initializers reproduce the torch defaults the reference
+relies on, so training dynamics are statistically comparable:
+
+- `nn.Linear` default: W, b ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+  (torch kaiming_uniform(a=sqrt(5)) reduces to exactly this for Linear).
+- `xavier_uniform` for the EDDI per-feature embeddings
+  (reference: src/models/VAE.py:49-52) and the notMIWAE missing-process
+  parameters W, b (reference: src/models/VAE.py:2735-2740).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+def torch_linear_init(key: jax.Array, fan_in: int, fan_out: int) -> Params:
+    """torch.nn.Linear default init."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -bound, bound),
+    }
+
+
+def xavier_uniform(key: jax.Array, shape) -> jax.Array:
+    """torch.nn.init.xavier_uniform_ on a 2D (or leading-broadcast) tensor."""
+    fan_in, fan_out = shape[-2], shape[-1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def dense(params: Params, x: jax.Array) -> jax.Array:
+    """y = x @ W + b. Always runs in float32 accumulation on the MXU."""
+    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+
+
+# ---------------------------------------------------------------------------
+# MLP
+# ---------------------------------------------------------------------------
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": jax.nn.relu,
+    "elu": jax.nn.elu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "identity": lambda x: x,
+}
+
+
+def mlp_init(key: jax.Array, sizes: Sequence[int]) -> Params:
+    """Init an MLP with len(sizes)-1 Linear layers."""
+    keys = jax.random.split(key, len(sizes) - 1)
+    return {
+        f"layer{i}": torch_linear_init(k, sizes[i], sizes[i + 1])
+        for i, k in enumerate(keys)
+    }
+
+
+def mlp_apply(
+    params: Params,
+    x: jax.Array,
+    hidden_act: str = "relu",
+    final_act: str = "identity",
+) -> jax.Array:
+    """Apply an MLP: `hidden_act` between layers, `final_act` on the output."""
+    n = len(params)
+    act = ACTIVATIONS[hidden_act]
+    for i in range(n):
+        x = dense(params[f"layer{i}"], x)
+        if i < n - 1:
+            x = act(x)
+    return ACTIVATIONS[final_act](x)
+
+
+def hardtanh(x: jax.Array, min_val: float, max_val: float) -> jax.Array:
+    """torch.nn.Hardtanh (notMIWAE decoder logvar clamp,
+    reference: src/models/VAE.py:2363)."""
+    return jnp.clip(x, min_val, max_val)
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree_util.tree_leaves(params))

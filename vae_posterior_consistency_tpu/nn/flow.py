@@ -1,0 +1,173 @@
+"""Conditional piecewise-linear spline flow (Mueller et al., Neural Importance
+Sampling) — the flow-posterior used by the VAEFlow / REG_VAEFlow families.
+
+TPU-first rewrite of the reference's embedded nflows-derived library
+(reference: src/models/VAE.py:1680-1857): fully vectorized over (batch, dim),
+static shapes, no Python loops over latent dims, gather via one-hot matmuls
+(MXU-friendly at num_bins=10) — jit/vmap/grad-safe.
+
+Structure parity (reference: src/models/VAE.py:1816-1857 `Flow`):
+- 3 stacked conditional `PiecewiseLinearCDF` transforms with linear tails,
+  tail_bound=1.0, num_bins = latent_dim = 10.
+- The per-dim un-normalized bin PDF comes from the conditioning context reshaped
+  to (B, dim, num_bins) (reference: src/models/VAE.py:1793) — the same context
+  feeds all three layers.
+- `forward(cond)`: sample z0 ~ N(0, I), push forward, return (z, log q(z)) with
+  log q = log N(z0) - sum(logdet) held element-wise per dim
+  (reference: src/models/VAE.py:1829-1841).
+- `backward(z, cond)`: pull back through the inverses, return element-wise
+  log-prob (reference: src/models/VAE.py:1843-1857).
+
+Deliberate deviation (documented per SURVEY.md §7 "quirks"): the reference's
+`unconstrained_linear_spline` (VAE.py:1680-1708) computes the outside-interval
+identity branch but then unconditionally overwrites it with the spline output,
+and masks the bin logits with a dimension-index mask (VAE.py:1695-1696) that only
+type-checks because num_bins == latent_dim. We implement the documented intent
+of "linear tails": identity map and zero logdet outside [-tail_bound, tail_bound],
+spline inside.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NUM_LAYERS = 3
+TAIL_BOUND = 1.0
+
+
+def _normalize_pdf(unnormalized_pdf):
+    """softmax over bins -> pdf; cdf with exact 1.0 top and 0.0 left pad
+    (reference: src/models/VAE.py:1726-1731)."""
+    pdf = jax.nn.softmax(unnormalized_pdf, axis=-1)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = cdf.at[..., -1].set(1.0)
+    cdf = jnp.pad(cdf, [(0, 0)] * (cdf.ndim - 1) + [(1, 0)])
+    return pdf, cdf
+
+
+def _gather_bins(table, idx):
+    """table[..., idx[...]] along the last axis via one-hot contraction.
+
+    For num_bins ~ 10-16 a one-hot matmul beats gather on TPU (runs on the
+    MXU/VPU instead of scatter/gather paths)."""
+    nb = table.shape[-1]
+    onehot = jax.nn.one_hot(idx, nb, dtype=table.dtype)
+    return jnp.sum(table * onehot, axis=-1)
+
+
+def linear_spline_forward(inputs, unnormalized_pdf, left=-1.0, right=1.0,
+                          bottom=-1.0, top=1.0):
+    """Forward piecewise-linear CDF map on [left,right] -> [bottom,top].
+
+    inputs: (..., D); unnormalized_pdf: (..., D, num_bins).
+    Returns (outputs, logabsdet) each (..., D)
+    (reference: src/models/VAE.py:1754-1774)."""
+    num_bins = unnormalized_pdf.shape[-1]
+    pdf, cdf = _normalize_pdf(unnormalized_pdf)
+
+    x = (inputs - left) / (right - left)
+    bin_pos = x * num_bins
+    bin_idx = jnp.clip(jnp.floor(bin_pos).astype(jnp.int32), 0, num_bins - 1)
+    alpha = bin_pos - bin_idx.astype(bin_pos.dtype)
+
+    input_pdfs = _gather_bins(pdf, bin_idx)
+    cdf_left = _gather_bins(cdf[..., :-1], bin_idx)
+    outputs = jnp.clip(cdf_left + alpha * input_pdfs, 0.0, 1.0)
+    logabsdet = jnp.log(input_pdfs) - jnp.log(1.0 / num_bins)
+    return outputs * (top - bottom) + bottom, logabsdet
+
+
+def linear_spline_inverse(inputs, unnormalized_pdf, left=-1.0, right=1.0,
+                          bottom=-1.0, top=1.0):
+    """Inverse piecewise-linear CDF map (reference: src/models/VAE.py:1732-1753)."""
+    num_bins = unnormalized_pdf.shape[-1]
+    _, cdf = _normalize_pdf(unnormalized_pdf)
+
+    y = (inputs - bottom) / (top - bottom)
+    # searchsorted: idx s.t. cdf[idx] <= y < cdf[idx+1]
+    # (reference searchsorted: src/models/VAE.py:1392-1394)
+    inv_bin_idx = jnp.clip(
+        jnp.sum((y[..., None] >= cdf[..., :-1]).astype(jnp.int32), axis=-1) - 1,
+        0,
+        num_bins - 1,
+    )
+    bin_width = 1.0 / num_bins
+    slopes = (cdf[..., 1:] - cdf[..., :-1]) / bin_width
+    right_edges = (
+        jnp.arange(1, num_bins + 1, dtype=inputs.dtype) * bin_width
+    )
+    offsets = cdf[..., 1:] - slopes * right_edges
+
+    input_slopes = _gather_bins(slopes, inv_bin_idx)
+    input_offsets = _gather_bins(offsets, inv_bin_idx)
+    outputs = jnp.clip((y - input_offsets) / input_slopes, 0.0, 1.0)
+    logabsdet = -jnp.log(input_slopes)
+    return outputs * (right - left) + left, logabsdet
+
+
+def unconstrained_linear_spline(inputs, unnormalized_pdf, inverse=False,
+                                tail_bound=TAIL_BOUND):
+    """Linear-tails spline: identity (logdet 0) outside [-tail_bound, tail_bound],
+    linear spline inside (documented intent of reference VAE.py:1680-1708; see
+    module docstring for the deviation rationale)."""
+    inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
+    safe_inputs = jnp.where(inside, inputs, 0.0)
+    fn = linear_spline_inverse if inverse else linear_spline_forward
+    out_in, logdet_in = fn(
+        safe_inputs,
+        unnormalized_pdf,
+        left=-tail_bound,
+        right=tail_bound,
+        bottom=-tail_bound,
+        top=tail_bound,
+    )
+    outputs = jnp.where(inside, out_in, inputs)
+    logabsdet = jnp.where(inside, logdet_in, 0.0)
+    return outputs, logabsdet
+
+
+# ---------------------------------------------------------------------------
+# Conditional flow (3 stacked spline layers fed by one context)
+# ---------------------------------------------------------------------------
+
+
+def context_to_pdf(context, dim, num_bins):
+    """Reshape encoder context (..., dim*num_bins) -> bin logits (..., dim, num_bins)
+    (reference: src/models/VAE.py:1793)."""
+    return context.reshape(context.shape[:-1] + (dim, num_bins))
+
+
+def flow_forward(key, context, dim, num_bins=None):
+    """Sample z0 ~ N(0,I) and push it through the 3 spline layers.
+
+    Returns (z, log_prob) with log_prob element-wise per latent dim
+    (reference: src/models/VAE.py:1829-1841)."""
+    num_bins = num_bins or dim
+    pdf_logits = context_to_pdf(context, dim, num_bins)
+    z = jax.random.normal(key, context.shape[:-1] + (dim,))
+    log_prob = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
+    log_det = jnp.zeros_like(z)
+    for _ in range(NUM_LAYERS):
+        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=False)
+        log_det = log_det + ld
+    return z, log_prob - log_det
+
+
+def flow_log_prob(z, context, dim, num_bins=None):
+    """Element-wise log q(z | context) via the inverse pass
+    (reference: src/models/VAE.py:1843-1857).
+
+    Correct change of variables: log q(y) = log N(f^-1(y)) + sum(inverse
+    logabsdets), which agrees exactly with the log-prob emitted by
+    `flow_forward`. (The reference's `Flow.backward` subtracts the inverse
+    logdets — VAE.py:1857 — flipping the sign relative to its own forward pass;
+    we implement the consistent form.)"""
+    num_bins = num_bins or dim
+    pdf_logits = context_to_pdf(context, dim, num_bins)
+    log_det = jnp.zeros_like(z)
+    for _ in range(NUM_LAYERS):
+        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=True)
+        log_det = log_det + ld
+    base_lp = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
+    return base_lp + log_det
