@@ -1,0 +1,71 @@
+"""Headline benchmark: flagship-model training throughput on one chip.
+
+Measures samples/sec of the fully-compiled training loop (Reg_VAE + kl_reg,
+wine-shaped table: N=4898 x D=12, batch 64, Adam — the reference's flagship
+configuration, Data/imputation_args.json defaults) on whatever accelerator is
+attached, and compares against the reference's CPU throughput.
+
+Baseline: 9723 samples/s — the torch-CPU reference-equivalent measured on this
+host with tools/bench_baseline_torch.py (eager two-branch forward/backward with
+per-batch host NumPy mask draws, mirroring src/experiment_main/train.py:26-116).
+The build target is >=10x (BASELINE.md north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: torch-CPU reference-equivalent samples/s on this host
+#: (tools/bench_baseline_torch.py, 2026-08-16)
+TORCH_CPU_BASELINE = 9723.0
+
+N_ROWS, OBS_DIM = 4898, 12
+WARMUP_EPOCHS, BENCH_EPOCHS = 20, 200
+
+
+def main():
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", batch_size=64,
+                    latent_dim=10, alpha=1.0, p_missingness=30)
+    model = get_model(cfg)
+
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.uniform(0, 1, (N_ROWS, OBS_DIM)), jnp.float32)
+    mask = jnp.asarray(rng.random((N_ROWS, OBS_DIM)) < 0.7, jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), cfg, OBS_DIM)
+    run_chunk, tx = _build_epoch_runner(cfg, data, mask, model)
+    opt_state = tx.init(params)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    params, opt_state, losses = run_chunk(params, opt_state, key,
+                                          jnp.asarray(0), WARMUP_EPOCHS)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    params, opt_state, losses = run_chunk(params, opt_state, key,
+                                          jnp.asarray(WARMUP_EPOCHS),
+                                          BENCH_EPOCHS)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = BENCH_EPOCHS * N_ROWS / dt
+    print(json.dumps({
+        "metric": "flagship_train_throughput",
+        "value": round(samples_per_sec, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec / TORCH_CPU_BASELINE, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

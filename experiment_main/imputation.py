@@ -1,0 +1,66 @@
+"""MCAR imputation experiment entry point.
+
+CLI-compatible rebuild of the reference driver
+(reference: src/experiment_main/imputation.py:20-59): iterates the JSONL config
+records in Data/imputation_args.json, sweeps the hard-coded (missing %, alpha)
+grid, trains each model, then evaluates imputation RMSE / ELBO / negative
+log-likelihoods and writes the reference-named artifacts under experiments/.
+
+Run:  PYTHONPATH=. python3 experiment_main/imputation.py [-vae_type ...] [...]
+Every JSONL field is overridable as a single-dash CLI flag (same contract as
+the reference's setup_parser, src/utils/utils.py:177-189).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from vae_posterior_consistency_tpu.config import (
+    RunConfig,
+    iter_jsonl_configs,
+    setup_parser,
+)
+from vae_posterior_consistency_tpu.data import loaders
+from vae_posterior_consistency_tpu.data.default_configs import write_default_configs
+from vae_posterior_consistency_tpu.engine import evaluate as eval_engine
+from vae_posterior_consistency_tpu.engine import train as train_engine
+from vae_posterior_consistency_tpu.utils.logging import epoch_logger
+
+#: hard-coded sweep axes, matching the reference driver
+#: (src/experiment_main/imputation.py:23-24)
+MISSING_SWEEP = [30]
+ALPHA_SWEEP = [1.0]
+
+
+def main():
+    print("Devices:", jax.devices())
+    write_default_configs("Data")
+    for record in iter_jsonl_configs("Data/imputation_args.json"):
+        for missing in MISSING_SWEEP:
+            for alpha in ALPHA_SWEEP:
+                args = setup_parser(record, "impute_eval").parse_args()
+                cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)
+                dataset = loaders.data_loader(
+                    cfg.data_path, cfg.vae_type, cfg.missing_rate,
+                    cfg.batch_size, cfg.data_type,
+                )
+                # MIWAE-family models train with train_k importance samples and
+                # evaluate with valid_k (reference: imputation.py:33-39 passes
+                # train_k as num_samples to train, valid_k to eval)
+                print(f"=== train {cfg.vae_type} (missing={missing}, "
+                      f"alpha={alpha}) ===")
+                train_engine.train(
+                    dataset, cfg, log_fn=epoch_logger(cfg.epoch)
+                )
+                print(f"=== eval {cfg.vae_type} ===")
+                results = eval_engine.eval_vae(dataset, cfg)
+                for stage, metrics in results.items():
+                    print(f"  [{stage}] " + "  ".join(
+                        f"{k}={v:.5f}" for k, v in metrics.items()))
+
+
+if __name__ == "__main__":
+    main()

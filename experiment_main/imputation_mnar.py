@@ -1,0 +1,70 @@
+"""MNAR imputation experiment entry point.
+
+CLI-compatible rebuild of the reference driver
+(reference: src/experiment_main/imputation_mnar.py:27-85): iterates
+Data/imputation_args_mnar.json, trains the notMIWAE-family models on the
+MNAR-permuted data (target column dropped), then evaluates full-matrix
+imputation RMSE with eval_vae_mnar and writes the reference-named artifacts.
+
+Run:  PYTHONPATH=. python3 experiment_main/imputation_mnar.py [-vae_type ...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from vae_posterior_consistency_tpu.config import (
+    RunConfig,
+    iter_jsonl_configs,
+    setup_parser,
+)
+from vae_posterior_consistency_tpu.data import loaders
+from vae_posterior_consistency_tpu.data.default_configs import write_default_configs
+from vae_posterior_consistency_tpu.engine import evaluate as eval_engine
+from vae_posterior_consistency_tpu.engine import train as train_engine
+from vae_posterior_consistency_tpu.utils.logging import epoch_logger
+
+#: hard-coded sweep axes (reference: src/experiment_main/imputation_mnar.py:30-31)
+MISSING_SWEEP = [50]
+ALPHA_SWEEP = [1.0]
+
+#: 'minmax' or 'stand'; 'changed' or 'author' — the reference pins these in the
+#: script body (src/experiment_main/imputation_mnar.py:38-39)
+DATA_TRANSFORM = "minmax"
+NOT_MIWAE_TYPE = "changed"
+
+
+def main():
+    print("Devices:", jax.devices())
+    write_default_configs("Data")
+    for record in iter_jsonl_configs("Data/imputation_args_mnar.json"):
+        for missing in MISSING_SWEEP:
+            for alpha in ALPHA_SWEEP:
+                args = setup_parser(record, "impute_eval").parse_args()
+                cfg = RunConfig.from_args(
+                    args,
+                    alpha=alpha,
+                    p_missingness=missing,
+                    data_transform=DATA_TRANSFORM,
+                    not_miwae_type=NOT_MIWAE_TYPE,
+                )
+                dataset = loaders.data_loader_mnar(
+                    cfg.data_path, cfg.vae_type, cfg.missing_rate,
+                    cfg.batch_size, cfg.data_type,
+                    data_transform=DATA_TRANSFORM,
+                )
+                print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
+                      f"alpha={alpha}) ===")
+                train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch))
+                print(f"=== eval {cfg.vae_type} (MNAR) ===")
+                rmse = eval_engine.eval_vae_mnar(
+                    dataset.train.x, dataset.train.mask, cfg
+                )
+                print(f"  rmse={rmse:.5f}")
+
+
+if __name__ == "__main__":
+    main()

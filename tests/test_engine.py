@@ -1,0 +1,135 @@
+"""End-to-end engine tests: train -> checkpoint -> eval -> artifacts on a tiny
+synthetic table (SURVEY.md §4: 'end-to-end smoke runs of each entry point on a
+tiny synthetic table')."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.data import loaders
+from vae_posterior_consistency_tpu.engine import checkpoint, evaluate, train
+from vae_posterior_consistency_tpu.engine import artifacts as art
+
+
+def _cfg(tmp_path, **kw):
+    defaults = dict(
+        vae_type="reg_vae1", data_type="synth_small", epoch=5, batch_size=32,
+        M=1, missing_rate=30, train_k=2, valid_k=3,
+    )
+    defaults.update(kw)
+    return RunConfig(**defaults)
+
+
+@pytest.fixture()
+def dataset(tiny_dataset):
+    return loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+
+
+def test_train_reduces_loss(dataset, tmp_path):
+    cfg = _cfg(tmp_path, epoch=80, vae_type="vanilla_vae1")
+    params, hist = train.train(dataset, cfg, experiments_root=str(tmp_path),
+                               save=False)
+    # ELBO loss decreases substantially over training
+    assert hist[-1] < hist[0] * 0.8
+
+
+def test_checkpoint_roundtrip(dataset, tmp_path):
+    cfg = _cfg(tmp_path)
+    params, _ = train.train(dataset, cfg, experiments_root=str(tmp_path))
+    path = checkpoint.checkpoint_path(cfg, str(tmp_path))
+    assert os.path.exists(path)
+    reloaded = train.load_trained(dataset, cfg, str(tmp_path))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(reloaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_writes_reference_named_artifacts(dataset, tmp_path):
+    cfg = _cfg(tmp_path)
+    params, _ = train.train(dataset, cfg, experiments_root=str(tmp_path))
+    res = evaluate.eval_vae(dataset, cfg, params=params,
+                            experiments_root=str(tmp_path))
+    assert set(res) == {"train", "test"}
+    for stage in ("train", "test"):
+        paths = art.eval_vae_paths(cfg, stage, str(tmp_path))
+        for p in paths.values():
+            assert os.path.exists(p), p
+        import torch
+
+        val = torch.load(paths["rmse"], weights_only=False)
+        assert float(val) == pytest.approx(res[stage]["rmse"], rel=1e-5)
+    # structured metrics log written too
+    assert os.path.exists(
+        os.path.join(str(tmp_path), cfg.experiment_type, cfg.data_type,
+                     "metrics.jsonl")
+    )
+
+
+def test_eval_miwae_routing(dataset, tmp_path):
+    cfg = _cfg(tmp_path, vae_type="vanilla_MIWAE1", valid_k=4)
+    ds = loaders.data_loader(
+        os.path.dirname(os.path.join(str(tmp_path))), "vanilla_MIWAE1", 30, 32,
+        "synth_small",
+    ) if False else dataset
+    params, _ = train.train(ds, cfg, experiments_root=str(tmp_path))
+    evaluate.eval_vae(ds, cfg, params=params, experiments_root=str(tmp_path))
+    paths = art.eval_miwae_paths(cfg, "test", str(tmp_path))
+    assert os.path.exists(paths["rmse"])
+
+
+def test_mnar_pipeline(tiny_dataset, tmp_path):
+    cfg = _cfg(tmp_path, vae_type="vanilla_notMIWAE1", epoch=3, train_k=2,
+               valid_k=3, p_missingness=50)
+    ds = loaders.data_loader_mnar(tiny_dataset, cfg.vae_type, cfg.missing_rate,
+                                  cfg.batch_size, "synth_small")
+    params, _ = train.train(ds, cfg, experiments_root=str(tmp_path))
+    rmse = evaluate.eval_vae_mnar(ds.train.x, ds.train.mask, cfg, params=params,
+                                  experiments_root=str(tmp_path))
+    assert np.isfinite(rmse) and rmse > 0
+    assert os.path.exists(art.eval_mnar_paths(cfg, str(tmp_path))["rmse"])
+
+
+def test_checkpoint_name_mangling_parity():
+    """Character-for-character parity with the reference's checkpoint naming
+    (src/experiment_main/train.py:120-131)."""
+    cfg = RunConfig(vae_type="reg_vae2_mask_augm", alpha=1.0, p_missingness=30,
+                    reg_type="kl_reg", missing_rate=30, data_type="wine")
+    p = checkpoint.checkpoint_path(cfg, "experiments")
+    assert p == (
+        "experiments/UCI_experiments_consistency_missingness/wine/checkpoints/"
+        "reg_vae/checkpoint_reg_vae2_mask_augm_1.0_30_kl_reg_30_"
+        "missing_rate_full_reg_test.pt"
+    )
+    cfg_v = RunConfig(vae_type="vanilla_notMIWAE1", missing_rate=50,
+                      data_type="wine")
+    p_v = checkpoint.checkpoint_path(cfg_v, "experiments")
+    assert p_v == (
+        "experiments/UCI_experiments_consistency_missingness/wine/checkpoints/"
+        "vanilla_notMIWAE/checkpoint_vanilla_notMIWAE1_50_missing_rate_test.pt"
+    )
+
+
+def test_artifact_name_mangling_parity():
+    cfg = RunConfig(vae_type="reg_vae1", alpha=1.0, p_missingness=30,
+                    reg_type="kl_reg", missing_rate=30, data_type="wine")
+    paths = art.eval_vae_paths(cfg, "test", "experiments")
+    assert paths["rmse"].endswith(
+        "rest/reg_vae/test_reg_vae1_rmse_1.0_30_kl_reg_30_missing_rate_"
+        "full_reg_test.pt"
+    )
+    assert paths["negll"].endswith(
+        "test_reg_vae1_negative_llh_q_1.0_30_kl_reg_30_missing_rate_"
+        "full_reg_test.pt"
+    )
+    mnar = art.eval_mnar_paths(
+        RunConfig(vae_type="reg_notMIWAE1", alpha=1.0, p_missingness=50,
+                  reg_type="kl_reg", data_type="wine"),
+        "experiments",
+    )
+    assert mnar["rmse"].endswith(
+        "rest/reg_notMIWAE/reg_notMIWAE1_rmse_1.0_50_kl_reg_full_reg_"
+        "large_batch_v2_test.pt"
+    )

@@ -1,0 +1,128 @@
+"""Fabricate the per-dataset artifact files the experiment pipeline consumes.
+
+The reference expects pre-built artifacts under `Data/<data_type>/` that are not
+shipped with it (reference: src/utils/loaders.py:322-326, 361-366;
+src/experiment_main/active_learning.py:35-45):
+
+    data.pt                     [N, D] float tensor
+    mask_<rate>_missing<i>.pt   [N, D] bool MCAR observation mask, i in {1,2,3}
+    mnar_mask_missing<i>.pt     [N, D] bool MNAR observation mask
+    rand_perm<i>.pt             [N] long permutation
+    train_index<i>.csv / test_index<i>.csv   row-index lists
+
+and for MNIST: experiment_{train,test}_{data,mask}.pt
+(reference: src/utils/loaders.py:285-289).
+
+This module generates all of them from offline sources (sklearn's bundled wine /
+digits datasets, or synthetic tables), saved with `torch.save` so the artifact
+format is interchangeable with the reference's.
+
+Usage:  python3 -m vae_posterior_consistency_tpu.data.generate [--tiny] [--root Data]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import torch
+
+
+def _source_table(data_type: str, rng: np.random.Generator) -> np.ndarray:
+    if data_type == "wine":
+        from sklearn.datasets import load_wine
+
+        return load_wine().data.astype(np.float32)  # [178, 13]
+    if data_type == "synth_small":
+        # tiny correlated Gaussian table for fast tests / verification drives
+        n, d = 120, 6
+        w = rng.normal(size=(3, d))
+        z = rng.normal(size=(n, 3))
+        return (z @ w + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+    if data_type == "synth":
+        n, d = 4096, 12
+        w = rng.normal(size=(4, d))
+        z = rng.normal(size=(n, 4))
+        return (z @ w + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+    raise ValueError(f"unknown data_type {data_type!r}")
+
+
+def _mnar_mask(x: np.ndarray) -> np.ndarray:
+    """MNAR: hide cells above the column mean in the first D/2 features
+    (mirrors reference src/utils/utils.py:48-60)."""
+    n, d = x.shape
+    mask = np.ones((n, d), dtype=bool)
+    half = d // 2
+    mask[:, :half] = x[:, :half] <= x[:, :half].mean(axis=0)
+    return mask
+
+
+def generate_uci(root: str, data_type: str, rates=(30, 50), n_splits=3,
+                 test_frac=0.1, seed=1234) -> None:
+    rng = np.random.default_rng(seed)
+    x = _source_table(data_type, rng)
+    n = x.shape[0]
+    out = os.path.join(root, data_type)
+    os.makedirs(out, exist_ok=True)
+    torch.save(torch.from_numpy(x), os.path.join(out, "data.pt"))
+    for i in range(1, n_splits + 1):
+        perm = rng.permutation(n)
+        n_test = max(1, int(n * test_frac))
+        test_idx, train_idx = perm[:n_test], perm[n_test:]
+        np.savetxt(os.path.join(out, f"train_index{i}.csv"), train_idx[None],
+                   delimiter=",", fmt="%d")
+        np.savetxt(os.path.join(out, f"test_index{i}.csv"), test_idx[None],
+                   delimiter=",", fmt="%d")
+        torch.save(torch.from_numpy(rng.permutation(n)),
+                   os.path.join(out, f"rand_perm{i}.pt"))
+        for rate in rates:
+            mcar = rng.random(x.shape) < (1.0 - rate / 100.0)
+            torch.save(torch.from_numpy(mcar),
+                       os.path.join(out, f"mask_{rate}_missing{i}.pt"))
+        torch.save(torch.from_numpy(_mnar_mask(x)),
+                   os.path.join(out, f"mnar_mask_missing{i}.pt"))
+
+
+def generate_mnist(root: str, rate=30, seed=1234) -> None:
+    """Stand-in 784-dim image table from sklearn's bundled digits (8x8 upsampled
+    to 28x28) — the reference's MNIST artifacts were likewise built offline."""
+    rng = np.random.default_rng(seed)
+    from sklearn.datasets import load_digits
+
+    imgs = load_digits().images.astype(np.float32) / 16.0  # [N, 8, 8]
+    up = np.kron(imgs, np.ones((1, 3, 3), np.float32))  # [N, 24, 24]
+    pad = np.zeros((up.shape[0], 28, 28), np.float32)
+    pad[:, 2:26, 2:26] = up
+    x = pad.reshape(-1, 784)
+    n_test = max(1, x.shape[0] // 10)
+    perm = rng.permutation(x.shape[0])
+    splits = {"test": perm[:n_test], "train": perm[n_test:]}
+    out = os.path.join(root, "mnist")
+    os.makedirs(out, exist_ok=True)
+    for stage, idx in splits.items():
+        mask = rng.random((len(idx), 784)) < (1.0 - rate / 100.0)
+        torch.save(torch.from_numpy(x[idx]),
+                   os.path.join(out, f"experiment_{stage}_data.pt"))
+        torch.save(torch.from_numpy(mask),
+                   os.path.join(out, f"experiment_{stage}_mask.pt"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="Data")
+    ap.add_argument("--tiny", action="store_true",
+                    help="only generate the synth_small test dataset")
+    ap.add_argument("--seed", type=int, default=1234)
+    args = ap.parse_args(argv)
+    if args.tiny:
+        generate_uci(args.root, "synth_small", seed=args.seed)
+        return
+    for ds in ("wine", "synth_small", "synth"):
+        generate_uci(args.root, ds, seed=args.seed)
+    generate_mnist(args.root, seed=args.seed)
+    print(f"artifacts written under {args.root}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,214 @@
+"""EDDI-style information-reward active variable selection.
+
+Rebuild of the reference's sequential feature-acquisition loop
+(reference: src/experiment_main/evaluate.py:300-511): starting from an empty
+mask, at each step compute the Lindley information reward
+R(u) ~ KL(post(x_o u x_u) || post(x_o)) - KL(... with the target revealed) for
+every still-hidden candidate feature u, reveal the argmax feature per row, and
+record the predictive MSE of the target (last column) after each reveal.
+
+TPU-first redesign: the reference's O(steps x features x M) Python loop nest of
+single-row encoder calls becomes, per step, ONE batched computation —
+`vmap` over candidate features x MC samples, all rows at once — inside a
+`lax.scan` over selection steps (sequential by nature: each reveal feeds the
+next step's mask). Mask updates are value changes, not shape changes, so the
+whole Repeat x steps loop compiles to a single XLA program.
+
+Reward math parity (reference: evaluate.py:514-634):
+  chaini KL = 0.5 * sum( (mean_i-mean)^2/var + var_i/var - 1 - logvar_i + logvar )
+with the reference's asymmetric v/var usage kept verbatim; the flow-posterior
+"ratio version" uses sum|log q - log q_i| of sampled-z encoder log-probs
+(reference: evaluate.py:637-708).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+from vae_posterior_consistency_tpu.engine import artifacts
+from vae_posterior_consistency_tpu.engine.train import load_trained
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops import masks
+
+#: reward placeholder for already-revealed features
+#: (reference: evaluate.py:391)
+NEG_INF_REWARD = -1e4
+
+
+def _chaini_kl(mean, logvar, mean_i, logvar_i):
+    """The reference's closed-form 'KL' between encoder posteriors before/after
+    revealing feature i (evaluate.py:582-584) — including its quirk of dividing
+    (mean_i-mean)^2 by exp(logvar) (v in the reference is exp(logvar/2) but the
+    square term divides by v... the reference divides by `v`=std once; kept
+    verbatim: square(mean_i-mean)/v + var_i/var - 1 - logvar_i + logvar)."""
+    v = jnp.exp(logvar / 2.0)
+    var = jnp.exp(logvar)
+    var_i = jnp.exp(logvar_i)
+    return 0.5 * jnp.sum(
+        jnp.square(mean_i - mean) / v + var_i / var - 1.0 - logvar_i + logvar,
+        axis=-1,
+    )
+
+
+def _flow_reward(model, params, cfg, x_mod, mask, u_onehot, last_onehot, key):
+    """ratio-version reward sum|log q - log q_i| (reference: evaluate.py:669-708)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    lp = model.encode_sample_logprob(params, x_mod, mask, k1, cfg)
+    mask_u = jnp.maximum(mask, u_onehot)
+    lp_u = model.encode_sample_logprob(params, x_mod, mask_u, k2, cfg)
+    kl_1 = jnp.sum(jnp.abs(lp - lp_u), axis=-1)
+
+    mask_t = jnp.maximum(mask, last_onehot)
+    lp_t = model.encode_sample_logprob(params, x_mod, mask_t, k3, cfg)
+    mask_tu = jnp.maximum(mask_t, u_onehot)
+    lp_tu = model.encode_sample_logprob(params, x_mod, mask_tu, k4, cfg)
+    kl_2 = jnp.sum(jnp.abs(lp_t - lp_tu), axis=-1)
+    return kl_1 - kl_2
+
+
+def _impute_samples(model, params, cfg, x, mask, mask_p, key, M):
+    """M Monte-Carlo imputations [M, n, D] (reference: evaluate.py:393-414)."""
+
+    def one(k):
+        out = model.eval_step(params, x, mask, mask_p, k, cfg)
+        return out["x_imputed"]
+
+    return jax.vmap(one)(jax.random.split(key, M))
+
+
+def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int):
+    """Compile the full selection loop for one Repeat:
+    (params, x, mask_p, key) -> artifact dict."""
+    M = cfg.M
+    D = obs_dim
+    n_steps = D - 1
+    is_flow = cfg.info.flow
+    last_onehot = jax.nn.one_hot(D - 1, D)[None, :]
+
+    def predictive_mse(params, x, mask, key):
+        # mean over M samples of F.mse_loss(x_mean[:, -1], x[:, -1])
+        # (reference: evaluate.py:364-385)
+        im = _impute_samples(model, params, cfg, x, mask,
+                             jnp.ones_like(mask), key, M)
+        return jnp.mean(jnp.square(im[:, :, -1] - x[None, :, -1]))
+
+    def rewards(params, x, mask, im, key):
+        """R [n, D-1] via vmap over candidates, scan over MC samples."""
+
+        def for_candidate(u, k_u):
+            u_onehot = jax.nn.one_hot(u, D)[None, :]
+
+            def body(acc, m):
+                x_mod = x * (1 - u_onehot) + im[m] * u_onehot
+                if is_flow:
+                    r = _flow_reward(model, params, cfg, x_mod, mask,
+                                     u_onehot, last_onehot,
+                                     jax.random.fold_in(k_u, m))
+                else:
+                    # reveal the target from the same imputation sample for the
+                    # second term (reference: evaluate.py:532-535 mutates
+                    # temp_x[loc, -1] before chaini_II)
+                    x_mod2 = x_mod * (1 - last_onehot) + im[m] * last_onehot
+                    mean, logvar = model.encode_stats(params, x_mod, mask, cfg)
+                    mask_u = jnp.maximum(mask, u_onehot)
+                    mean_u, logvar_u = model.encode_stats(params, x_mod, mask_u,
+                                                          cfg)
+                    kl_1 = _chaini_kl(mean, logvar, mean_u, logvar_u)
+                    mask_t = jnp.maximum(mask, last_onehot)
+                    mean_t, logvar_t = model.encode_stats(params, x_mod2, mask_t,
+                                                          cfg)
+                    mask_tu = jnp.maximum(mask_t, u_onehot)
+                    mean_tu, logvar_tu = model.encode_stats(params, x_mod2,
+                                                            mask_tu, cfg)
+                    kl_2 = _chaini_kl(mean_t, logvar_t, mean_tu, logvar_tu)
+                    r = kl_1 - kl_2
+                return acc + r, None
+
+            total, _ = jax.lax.scan(body, jnp.zeros((n_test,)), jnp.arange(M))
+            return total / M
+
+        cand_keys = jax.random.split(key, n_steps)
+        R = jax.vmap(for_candidate)(jnp.arange(n_steps), cand_keys)  # [D-1, n]
+        R = R.T  # [n, D-1]
+        hidden = mask[:, :n_steps] == 0.0
+        return jnp.where(hidden, R, NEG_INF_REWARD)
+
+    @jax.jit
+    def run(params, x, mask_p, key):
+        mask0 = jnp.zeros((n_test, D))
+        k_init, k_loop = jax.random.split(key)
+        mse0 = predictive_mse(params, x, mask0, k_init)
+
+        def step(carry, t):
+            mask = carry
+            k_t = jax.random.fold_in(k_loop, t)
+            k_im, k_r, k_mse = jax.random.split(k_t, 3)
+            im = _impute_samples(model, params, cfg, x, mask,
+                                 jnp.ones_like(mask), k_im, M)
+            R = rewards(params, x, mask, im, k_r)  # [n, D-1]
+            i_opt = jnp.argmax(R, axis=1)  # [n]
+            io = jax.nn.one_hot(i_opt, D)
+            new_mask = mask + io
+            mse = predictive_mse(params, x, new_mask, k_mse)
+            return new_mask, {"R": R, "action": i_opt.astype(jnp.float32),
+                              "mse": mse, "im": im}
+
+        _, outs = jax.lax.scan(step, mask0, jnp.arange(n_steps))
+        info_curve = jnp.concatenate([jnp.full((1,), mse0), outs["mse"]])
+        return {
+            # [n, D]: per-step scalar MSE broadcast to rows, as the reference
+            # stores it (evaluate.py:386, 459)
+            "information_curve": jnp.broadcast_to(info_curve[None, :],
+                                                  (n_test, D)),
+            "action": outs["action"].T,  # [n, D-1]
+            "R_hist": outs["R"],  # [D-1, n, D-1]
+            "im": outs["im"],  # [D-1, M, n, D]
+        }
+
+    return run
+
+
+def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
+                         experiments_root: str = "experiments", Repeat: int = 1,
+                         params=None, key=None, save: bool = True):
+    """Top-level AL driver (reference: evaluate.py:300-511): uses the
+    pre-trained checkpoint (the reference's training call is commented out,
+    evaluate.py:309-313), runs `Repeat` independent selection episodes, saves
+    the 4 artifact tensors."""
+    model = get_model(cfg)
+    x = jnp.asarray(test_data, jnp.float32)
+    test_mask = jnp.asarray(test_mask, jnp.float32)
+    n_test, D = x.shape
+    if params is None:
+        ds = Dataset(train=Split(x, test_mask, "train"), test=None, obs_dim=D)
+        params = load_trained(ds, cfg, experiments_root)
+    key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
+
+    runner = make_al_runner(cfg, model, D, n_test)
+    per_repeat = []
+    for r in range(Repeat):
+        k_r = jax.random.fold_in(key, r)
+        k_maskp, k_run = jax.random.split(k_r)
+        # mask_p for reg-model forwards (computed but unused by the reward —
+        # reference: evaluate.py:351-352)
+        mask_p = test_mask * masks.mcar_mask(k_maskp, test_mask.shape,
+                                             cfg.p_missingness)
+        per_repeat.append(runner(params, x, mask_p, k_run))
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *per_repeat
+    )
+    if save:
+        paths = artifacts.active_learning_paths(cfg, experiments_root)
+        for name in ("information_curve", "action", "R_hist", "im"):
+            artifacts.save_tensor(jax.device_get(stacked[name]), paths[name])
+        artifacts.log_metric(
+            cfg, "al_final_mse", stacked["information_curve"][:, 0, -1],
+            "test", experiments_root,
+        )
+    return stacked

@@ -1,0 +1,79 @@
+"""Parameter checkpointing with reference-compatible path mangling.
+
+The reference reloads checkpoints by reconstructing the exact mangled filename
+from the run hyper-parameters (reference: src/experiment_main/train.py:120-131
+for save; src/utils/loaders.py:30-36 and 9 sibling blocks for load). We keep the
+same `experiments/<experiment_type>/<data_type>/checkpoints/<family>/<name>.pt`
+layout and names so artifacts interoperate; contents are a flat dict of numpy
+arrays (the params pytree) serialized with torch.save.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from vae_posterior_consistency_tpu.config import RunConfig
+
+
+def family_dir(vae_type: str) -> str:
+    """Digit-stripped first-two-words family directory
+    (reference: src/experiment_main/train.py:122-124)."""
+    return "".join(
+        c for c in "_".join(vae_type.split("_")[:2]) if not c.isdigit()
+    )
+
+
+def checkpoint_path(cfg: RunConfig, root: str = "experiments") -> str:
+    """Exact reference checkpoint filename (src/experiment_main/train.py:120-131)."""
+    base = os.path.join(
+        root, cfg.experiment_type, cfg.data_type, "checkpoints",
+        family_dir(cfg.vae_type),
+    )
+    if "vanilla" in cfg.vae_type:
+        name = (
+            f"checkpoint_{cfg.vae_type}_{cfg.missing_rate}_missing_rate_test.pt"
+        )
+    else:
+        name = (
+            f"checkpoint_{cfg.vae_type}_{cfg.alpha}_{cfg.p_missingness}_"
+            f"{cfg.reg_type}_{cfg.missing_rate}_missing_rate_full_reg_test.pt"
+        )
+    return os.path.join(base, name)
+
+
+def _flatten(params) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save(params, path: str) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    torch.save(_flatten(params), path)
+
+
+def load(template_params, path: str):
+    """Load into the structure of `template_params` (from a fresh `init`)."""
+    import torch
+
+    flat = torch.load(path, map_location="cpu", weights_only=False)
+    leaves_paths, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+    new_leaves = []
+    for path_elems, leaf in leaves_paths:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path_elems
+        )
+        arr = np.asarray(flat[key])
+        if arr.shape != leaf.shape:
+            raise ValueError(
+                f"checkpoint leaf {key!r} has shape {arr.shape}, expected {leaf.shape}"
+            )
+        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,173 @@
+"""Evaluation engines: MCAR (eval_vae / eval_miwae) and MNAR (eval_vae_mnar).
+
+Reference behavior rebuilt (src/experiment_main/evaluate.py):
+- eval_vae (:136-297): over train+test splits x M Monte-Carlo reps, fresh
+  mask_p per batch, per-batch imputation RMSE on the missing cells, mean ELBO,
+  neg-llh observed, neg-llh imputed; artifacts saved per split.
+- eval_miwae (:72-133): same but RMSE-only, for the (Reg_)MIWAE families. The
+  reference runs a Python loop over single rows (:95-113); here the whole split
+  evaluates as one compiled scan of constant-size batches.
+- eval_vae_mnar (:13-69): M reps over the raw tensors; the reference's per-row
+  loop (:28-52) becomes one batched forward per rep.
+
+Aggregation parity: the reference averages *per-batch* RMSEs (not a global
+RMSE) and per-batch normalized losses; we reproduce that exactly, including the
+ragged final batch, via row-validity weights on padded constant-shape batches.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+from vae_posterior_consistency_tpu.engine import artifacts
+from vae_posterior_consistency_tpu.engine.train import load_trained
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops import masks
+
+
+def _pad_batches(n: int, bsz: int):
+    steps = math.ceil(n / bsz)
+    return steps, steps * bsz - n
+
+
+def _split_eval_fn(cfg: RunConfig, model, n: int, obs_dim: int, num_samples):
+    """Compile: (params, x, mask, key) -> per-rep aggregate metrics dict.
+
+    One rep = one pass over the split in shuffled constant-size batches
+    (loader shuffle=True parity, reference src/utils/loaders.py:344-352),
+    sequential over batches (lax.map) to bound memory at large sample counts.
+    """
+    bsz = min(cfg.batch_size, n)
+    steps, pad = _pad_batches(n, bsz)
+
+    @jax.jit
+    def one_rep(params, x, mask, key):
+        kperm, kbatch = jax.random.split(key)
+        perm = jax.random.permutation(kperm, n)
+        if pad:
+            perm = jnp.concatenate([perm, perm[:pad]])
+        valid = (jnp.arange(steps * bsz) < n).astype(jnp.float32)
+
+        def per_batch(s):
+            idx = jax.lax.dynamic_slice(perm, (s * bsz,), (bsz,))
+            x_b = jnp.take(x, idx, axis=0)
+            m_b = jnp.take(mask, idx, axis=0)
+            w_b = jax.lax.dynamic_slice(valid, (s * bsz,), (bsz,))
+            k_b = jax.random.fold_in(kbatch, s)
+            k_maskp, k_model = jax.random.split(k_b)
+            # fresh mask_p per batch (reference: evaluate.py:164-174)
+            mask_p = masks.sub_mask(k_maskp, m_b, cfg.p_missingness)
+            out = model.eval_step(params, x_b, m_b, mask_p, k_model, cfg,
+                                  **({"num_samples": num_samples}
+                                     if num_samples else {}))
+            hole = (1.0 - m_b) * w_b[:, None]
+            se = jnp.sum(jnp.square((out["x_imputed"] - x_b) * hole))
+            rmse_b = jnp.sqrt(se / jnp.maximum(jnp.sum(hole), 1.0))
+            cnt = jnp.sum(w_b)
+            return {
+                "rmse": rmse_b,
+                "loss": jnp.sum(out["row_loss"] * w_b) / cnt,
+                "negl": jnp.sum(out["row_negl"] * w_b) / cnt,
+                "negl_imp": jnp.sum(out["row_negl_imp"] * w_b) / cnt,
+            }
+
+        outs = jax.lax.map(per_batch, jnp.arange(steps))
+        return jax.tree_util.tree_map(jnp.mean, outs)
+
+    return one_rep
+
+
+def eval_vae(dataset: Dataset, cfg: RunConfig, params=None,
+             experiments_root: str = "experiments", key=None, save: bool = True):
+    """MCAR evaluation + artifact save (reference: evaluate.py:136-297).
+
+    Returns {stage: {rmse, elbo, negll, negll_imp}}.
+    """
+    model = get_model(cfg)
+    if params is None:
+        params = load_trained(dataset, cfg, experiments_root)
+    key = jax.random.PRNGKey(cfg.seed + 1) if key is None else key
+
+    # MIWAE-family eval uses valid_k importance samples (model_loader('test')
+    # receives valid_k as num_samples — reference: imputation.py:48,58)
+    num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
+
+    results = {}
+    for split in (dataset.train, dataset.test):
+        if split is None:
+            continue
+        one_rep = _split_eval_fn(cfg, model, split.n, dataset.obs_dim, num_samples)
+        reps = []
+        for m in range(cfg.M):
+            reps.append(one_rep(params, split.x, split.mask,
+                                jax.random.fold_in(key, m)))
+        agg = jax.tree_util.tree_map(
+            lambda *xs: float(jnp.mean(jnp.stack(xs))), *reps
+        )
+        results[split.stage] = agg
+        if save:
+            if model.eval_kind == "miwae":
+                paths = artifacts.eval_miwae_paths(cfg, split.stage,
+                                                   experiments_root)
+                artifacts.save_tensor(agg["rmse"], paths["rmse"])
+            else:
+                paths = artifacts.eval_vae_paths(cfg, split.stage,
+                                                 experiments_root)
+                artifacts.save_tensor(agg["rmse"], paths["rmse"])
+                artifacts.save_tensor(agg["loss"], paths["elbo"])
+                artifacts.save_tensor(agg["negl"], paths["negll"])
+                artifacts.save_tensor(agg["negl_imp"], paths["negll_imp"])
+            for name, val in agg.items():
+                artifacts.log_metric(cfg, name, val, split.stage, experiments_root)
+    return results
+
+
+#: reference alias — imputation.py routes 'MIWAE' vae_types here
+# (reference: src/experiment_main/imputation.py:40-49); the unified engine
+# dispatches on the family's eval_kind, so this is the same function.
+eval_miwae = eval_vae
+
+
+def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
+                  experiments_root: str = "experiments", key=None,
+                  save: bool = True) -> float:
+    """MNAR evaluation (reference: evaluate.py:13-69): M reps of full-matrix
+    imputation; per-rep global RMSE over the missing cells; mean over reps.
+
+    The reference redraws a full-shape MCAR mask_p for every row (:31) — rows
+    are iid, so one full-matrix draw per rep is equivalent.
+    """
+    model = get_model(cfg)
+    data = jnp.asarray(data, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    if params is None:
+        dataset = Dataset(train=Split(data, mask, "train"), test=None,
+                          obs_dim=data.shape[1])
+        params = load_trained(dataset, cfg, experiments_root)
+    key = jax.random.PRNGKey(cfg.seed + 2) if key is None else key
+    num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
+
+    @jax.jit
+    def one_rep(params, k):
+        k_maskp, k_model = jax.random.split(k)
+        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
+        out = model.eval_step(params, data, mask, mask_p, k_model, cfg,
+                              **({"num_samples": num_samples}
+                                 if num_samples else {}))
+        hole = 1.0 - mask
+        se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
+        return jnp.sqrt(se / jnp.sum(hole))
+
+    rmses = [one_rep(params, jax.random.fold_in(key, m)) for m in range(cfg.M)]
+    rmse = float(jnp.mean(jnp.stack(rmses)))
+    if save:
+        paths = artifacts.eval_mnar_paths(cfg, experiments_root)
+        artifacts.save_tensor(rmse, paths["rmse"])
+        artifacts.log_metric(cfg, "rmse_mnar", rmse, "test", experiments_root)
+    return rmse

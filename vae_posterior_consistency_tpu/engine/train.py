@@ -1,0 +1,175 @@
+"""The training engine: one compiled XLA program per chunk of epochs.
+
+Reference behavior being rebuilt (src/experiment_main/train.py:13-133): a single
+universal training loop for every model family — Adam(lr=1e-3), per-batch
+mask_p / mask_drop generation, vae_type-dispatched forward/loss, end-of-training
+checkpoint save with mangled filename.
+
+TPU-first redesign:
+- The dataset lives in HBM; batching is `permutation + dynamic_slice` on device.
+- Mask generation uses keyed `jax.random` on device (the reference draws host
+  NumPy masks every batch — a host sync per step, its biggest performance sin).
+- The epoch loop AND the batch loop are `lax.scan`s inside one `jax.jit` call
+  (chunked so the host can log progress), with params/optimizer state donated —
+  zero host round-trips inside a chunk.
+- drop_last=False parity: the per-epoch permutation is wrap-padded to a whole
+  number of constant-size batches (documented deviation: the reference's final
+  ragged batch instead re-normalizes by its smaller size; with shuffling this is
+  statistically equivalent and keeps shapes static for XLA).
+
+Epoch indexing parity: the loss receives `i + 1` (1-based epoch), as the
+reference passes (src/experiment_main/train.py:93).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+from vae_posterior_consistency_tpu.engine import checkpoint
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops import masks
+
+#: reference optimizer settings (src/experiment_main/train.py:21)
+LEARNING_RATE = 1e-3
+
+
+def make_train_step(cfg: RunConfig, model=None) -> Callable:
+    """Build the pure per-batch step:
+    (params, opt_state, x, mask, key, epoch) -> (params, opt_state, loss).
+
+    Encodes the reference's per-batch mask dispatch
+    (src/experiment_main/train.py:31-58, 77-113):
+      reg families:      mask_p = MCAR(p_missingness) * mask
+      with_drop vanilla: effective mask = mask * eddi_drop
+      plain vanilla:     effective mask = mask
+    """
+    model = model or get_model(cfg)
+    info = cfg.info
+    tx = optax.adam(LEARNING_RATE)
+
+    def step(params, opt_state, x, mask, key, epoch):
+        k_mask, k_model = jax.random.split(key)
+        if info.regularized:
+            mask_p = masks.sub_mask(k_mask, mask, cfg.p_missingness)
+            eff_mask = mask
+        elif info.with_drop:
+            mask_p = jnp.ones_like(mask)
+            eff_mask = mask * masks.eddi_drop_mask(k_mask, mask.shape)
+        else:
+            mask_p = jnp.ones_like(mask)
+            eff_mask = mask
+
+        def loss_fn(p):
+            return model.train_loss(p, x, eff_mask, mask_p, k_model, epoch, cfg)
+
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss
+
+    return step, tx
+
+
+def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
+                        model=None):
+    """Compile a (params, opt_state, key, epoch0, n_epochs)-chunk runner."""
+    n = data.shape[0]
+    bsz = min(cfg.batch_size, n)
+    steps = math.ceil(n / bsz)
+    pad = steps * bsz - n
+    step_fn, tx = make_train_step(cfg, model)
+
+    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, key, epoch0, n_epochs):
+        def epoch_body(carry, epoch_off):
+            params, opt_state = carry
+            epoch = epoch0 + epoch_off  # 0-based here; loss gets epoch+1
+            ekey = jax.random.fold_in(key, epoch)
+            kperm, kstep = jax.random.split(ekey)
+            perm = jax.random.permutation(kperm, n)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+
+            def step_body(carry2, s):
+                params, opt_state = carry2
+                idx = jax.lax.dynamic_slice(perm, (s * bsz,), (bsz,))
+                x_b = jnp.take(data, idx, axis=0)
+                m_b = jnp.take(mask, idx, axis=0)
+                skey = jax.random.fold_in(kstep, s)
+                params, opt_state, loss = step_fn(
+                    params, opt_state, x_b, m_b, skey,
+                    (epoch + 1).astype(jnp.float32),
+                )
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step_body, (params, opt_state), jnp.arange(steps)
+            )
+            return (params, opt_state), jnp.sum(losses)
+
+        (params, opt_state), epoch_losses = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs)
+        )
+        return params, opt_state, epoch_losses
+
+    return run_chunk, tx
+
+
+def train(
+    dataset: Dataset,
+    cfg: RunConfig,
+    key: Optional[jax.Array] = None,
+    experiments_root: str = "experiments",
+    chunk_epochs: int = 200,
+    log_fn: Optional[Callable[[int, float], None]] = None,
+    save: bool = True,
+):
+    """Full training run; returns (params, per-epoch loss history).
+
+    Equivalent of reference train() (src/experiment_main/train.py:13-133):
+    fresh model, Adam(1e-3), cfg.epoch epochs, checkpoint saved to the mangled
+    reference path at the end.
+    """
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    model = get_model(cfg)
+    k_init, k_run = jax.random.split(key)
+    params = model.init(k_init, cfg, dataset.obs_dim)
+
+    split: Split = dataset.train
+    run_chunk, tx = _build_epoch_runner(cfg, split.x, split.mask, model)
+    opt_state = tx.init(params)
+
+    history = []
+    done = 0
+    while done < cfg.epoch:
+        n_e = min(chunk_epochs, cfg.epoch - done)
+        params, opt_state, losses = run_chunk(
+            params, opt_state, k_run, jnp.asarray(done), n_e
+        )
+        history.extend(jax.device_get(losses).tolist())
+        done += n_e
+        if log_fn is not None:
+            log_fn(done, history[-1])
+
+    if save:
+        checkpoint.save(params, checkpoint.checkpoint_path(cfg, experiments_root))
+    return params, history
+
+
+def load_trained(dataset: Dataset, cfg: RunConfig,
+                 experiments_root: str = "experiments"):
+    """model_loader('test') equivalent (reference: src/utils/loaders.py:13-246):
+    rebuild the model and load the mangled-path checkpoint."""
+    model = get_model(cfg)
+    template = model.init(jax.random.PRNGKey(0), cfg, dataset.obs_dim)
+    return checkpoint.load(
+        template, checkpoint.checkpoint_path(cfg, experiments_root)
+    )

@@ -55,10 +55,10 @@ def decode(params, z):
     return layers.flow_decoder_apply(params["decoder"], z)
 
 
-def _re_terms(x, x_mean, x_logvar, m):
+def _re_terms(x, x_mean, x_logvar, m, axis=None):
     """Element-wise NLL summed over masked cells (reference: VAE.py:1955-1956,
     2082-2083 — note the flow family masks inputs the same way)."""
-    return -jnp.sum(normal_logpdf(x * m, x_mean * m, x_logvar * m))
+    return -jnp.sum(normal_logpdf(x * m, x_mean * m, x_logvar * m), axis=axis)
 
 
 def train_loss(params, x, mask, mask_p, key, epoch, cfg):
@@ -94,18 +94,17 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg):
 
 
 def eval_step(params, x, mask, mask_p, key, cfg, epoch=None):
-    """llh_eval semantics (reference: VAE.py:1963-1964, 2095-2106)."""
-    B = x.shape[0]
+    """llh_eval semantics (reference: VAE.py:1963-1964, 2095-2106), per-row:
+    `mean(row_*)` equals the reference's sum/batch-size scalars."""
     z_q, z_logprob_q = encode(params, x, mask, key, cfg)
     x_mean_q, x_logvar_q = decode(params, z_q)
-    RE_q = _re_terms(x, x_mean_q, x_logvar_q, mask)
-    RE_imp = _re_terms(x, x_mean_q, x_logvar_q, 1.0 - mask)
+    row_re = _re_terms(x, x_mean_q, x_logvar_q, mask, axis=-1)
+    row_re_imp = _re_terms(x, x_mean_q, x_logvar_q, 1.0 - mask, axis=-1)
     prior_lp = normal_logpdf(z_q, jnp.zeros_like(z_q), jnp.zeros_like(z_q))
-    KL_q = jnp.sum(z_logprob_q - prior_lp)
-    loss_q = RE_q + cfg.beta * KL_q
+    row_kl = jnp.sum(z_logprob_q - prior_lp, axis=-1)
     return {
         "x_imputed": x_mean_q,
-        "elbo_loss": loss_q / B,
-        "negl": RE_q / B,
-        "negl_imp": RE_imp / B,
+        "row_loss": row_re + cfg.beta * row_kl,
+        "row_negl": row_re,
+        "row_negl_imp": row_re_imp,
     }

@@ -104,10 +104,10 @@ def forward(params, x, mask, key, cfg):
             "x_logvar": x_logvar}
 
 
-def _masked_re(x, x_mean, x_logvar, m):
+def _masked_re(x, x_mean, x_logvar, m, axis=None):
     """Reconstruction NLL with the reference's mask-everything convention
     (reference: VAE.py:422-426)."""
-    return neg_gaussian_log_likelihood(x * m, x_mean * m, x_logvar * m)
+    return neg_gaussian_log_likelihood(x * m, x_mean * m, x_logvar * m, axis=axis)
 
 
 def _anneal(epoch, on):
@@ -158,19 +158,19 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg):
 
 def eval_step(params, x, mask, mask_p, key, cfg, epoch=None):
     """stage='evaluate' + llh_eval=True semantics (reference: VAE.py:410-420,
-    455-456): returns the imputation (x_mean_q), the per-row-normalized ELBO
-    loss, and observed/imputed negative log-likelihoods."""
-    B = x.shape[0]
+    455-456), in per-row form: the reference's batch scalars are the row-means
+    (its sums divided by batch size), so `mean(row_*)` reproduces them exactly
+    while letting the engine weight out padded rows."""
     epoch = cfg.epoch if epoch is None else epoch
     out_q = forward(params, x, mask, key, cfg)
-    RE_q = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask)
-    RE_imp = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], 1.0 - mask)
-    KL_q = kl_diag_std(out_q["mean"], out_q["logvar"])
+    row_re = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask, axis=-1)
+    row_re_imp = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], 1.0 - mask,
+                            axis=-1)
+    row_kl = kl_diag_std(out_q["mean"], out_q["logvar"], axis=-1)
     beta_scale = _anneal(jnp.asarray(epoch, jnp.float32), cfg.beta_annealing) * cfg.beta
-    loss_q = RE_q + beta_scale * KL_q
     return {
         "x_imputed": out_q["x_mean"],
-        "elbo_loss": loss_q / B,
-        "negl": RE_q / B,
-        "negl_imp": RE_imp / B,
+        "row_loss": row_re + beta_scale * row_kl,
+        "row_negl": row_re,
+        "row_negl_imp": row_re_imp,
     }

@@ -117,32 +117,37 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg, num_samples=None):
 
 
 def eval_step(params, x, mask, mask_p, key, cfg, num_samples=None):
-    """llh_eval semantics (reference: VAE.py:3095-3099, 3254-3258): importance-
-    weighted imputation xm = sum_k w_k x_mean_k, plus the bound value."""
+    """llh_eval semantics (reference: VAE.py:3095-3099, 3254-3258), per-row:
+    importance-weighted imputation xm = sum_k w_k x_mean_k, plus the bound.
+    `mean(row_*)` equals the reference batch scalars."""
     K = num_samples or cfg.valid_k
     info = cfg.info
     kq, kp = jax.random.split(key)
 
     out_q = forward(params, x, mask, kq, cfg, K)
     _, log_w_q, logpx_imp, log_pxz_q = _branch_terms(out_q, x, mask)
-    neg_bound_q = _neg_bound(log_w_q)
+    row_neg_bound_q = -jax.scipy.special.logsumexp(log_w_q, axis=1)
     w = jax.nn.softmax(log_w_q, axis=1)  # [B,K]
     xm = jnp.einsum("bk,bkd->bd", w, out_q["x_mean"])
 
     if not info.regularized:
         # reference divides by the hard-coded 5000 (VAE.py:3099)
-        negl = jnp.sum(logpx_imp) / (x.shape[0] * 5000.0)
-        return {"x_imputed": xm, "elbo_loss": neg_bound_q, "negl": negl,
-                "negl_imp": negl}
+        row_negl = jnp.sum(logpx_imp, axis=1) / 5000.0
+        return {"x_imputed": xm, "row_loss": row_neg_bound_q,
+                "row_negl": row_negl, "row_negl_imp": row_negl}
 
     out_p = forward(params, x, mask_p, kp, cfg, K)
     _, log_w_p, _, _ = _branch_terms(out_p, x, mask_p)
-    neg_bound_p = _neg_bound(log_w_p)
+    row_neg_bound_p = -jax.scipy.special.logsumexp(log_w_p, axis=1)
     extra = (mask * (1.0 - mask_p))[:, None, :]
-    reg_like = jnp.mean(jnp.sum(log_pxz_q * extra, axis=-1))
-    KL_reg = jnp.mean(
+    row_reg_like = jnp.mean(jnp.sum(log_pxz_q * extra, axis=-1), axis=1)
+    row_kl_reg = jnp.mean(
         kl_diag_diag_scale(out_q["mean"], out_q["scale"], out_p["mean"],
-                           out_p["scale"])
+                           out_p["scale"]),
+        axis=-1,
     )
-    loss = neg_bound_q + cfg.alpha * (KL_reg - neg_bound_q + neg_bound_p - reg_like)
-    return {"x_imputed": xm, "elbo_loss": loss, "negl": loss, "negl_imp": loss}
+    row_loss = row_neg_bound_q + cfg.alpha * (
+        row_kl_reg - row_neg_bound_q + row_neg_bound_p - row_reg_like
+    )
+    return {"x_imputed": xm, "row_loss": row_loss, "row_negl": row_loss,
+            "row_negl_imp": row_loss}

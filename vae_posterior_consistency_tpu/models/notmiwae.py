@@ -188,10 +188,14 @@ def eval_step(params, x, mask, mask_p, key, cfg, num_samples=None,
     """llh_eval semantics (reference: VAE.py:2458-2461, 2810-2813)."""
     K = num_samples or cfg.valid_k
     fixed = getattr(cfg, "fixed_iwae_bound", False)
+    sign = -1.0 if fixed else 1.0
     kq, _ = jax.random.split(key)
     out_q = forward(params, x, mask, kq, cfg, K)
     RE_q, _, _, l_w_q = _branch(params, out_q, x, mask, missing_process)
-    loss_q = _bound(l_w_q, K, fixed)
+    row_loss = sign * (
+        jax.scipy.special.logsumexp(sign * l_w_q, axis=1) - math.log(K)
+    )
     xm = _impute(l_w_q, out_q["x_mean"])
-    return {"x_imputed": xm, "elbo_loss": loss_q, "negl": jnp.mean(RE_q),
-            "negl_imp": jnp.mean(RE_q)}
+    row_re = jnp.mean(RE_q, axis=1)
+    return {"x_imputed": xm, "row_loss": row_loss, "row_negl": row_re,
+            "row_negl_imp": row_re}

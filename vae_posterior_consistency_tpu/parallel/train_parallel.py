@@ -1,0 +1,112 @@
+"""Multi-chip training: pjit-sharded train step over a (dp, tp) mesh.
+
+Replaces the reference's implicit one-device assumption (SURVEY.md §2.5;
+reference: src/experiment_main/imputation.py:16) with SPMD training:
+
+- batch rows sharded over `dp`; XLA emits the gradient all-reduce (`psum`
+  over ICI) because parameters are `dp`-replicated,
+- wide MLP weights column-sharded over `tp` (see parallel/mesh.py rules);
+  XLA inserts the activation collectives,
+- the optimizer update runs sharded in the same program (no host round-trip).
+
+All collectives are compiler-emitted — there is no hand-written NCCL/MPI
+analog to port; this is the idiomatic JAX mapping of the workload.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE, make_train_step
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+
+def make_parallel_train_step(cfg: RunConfig, mesh, model=None, params=None):
+    """Build (sharded_step, shard_inputs) for one optimizer step over `mesh`.
+
+    sharded_step(params, opt_state, x, mask, key, epoch)
+      -> (params, opt_state, loss)
+    with params/opt_state laid out per the tp rules and x/mask dp-sharded.
+    """
+    model = model or get_model(cfg)
+    step_fn, tx = make_train_step(cfg, model)
+
+    p_shard = meshlib.params_shardings(params, mesh) if params is not None else None
+    b_shard = meshlib.batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+
+    opt_shard = None
+    if params is not None:
+        opt_state = tx.init(params)
+        opt_shard = jax.tree_util.tree_map(
+            lambda leaf: _match_opt_sharding(leaf, params, p_shard, mesh),
+            opt_state,
+            is_leaf=lambda l: isinstance(l, jnp.ndarray) or hasattr(l, "shape"),
+        )
+
+    @partial(
+        jax.jit,
+        in_shardings=(p_shard, opt_shard, b_shard, b_shard, repl, repl),
+        out_shardings=(p_shard, opt_shard, repl),
+        donate_argnums=(0, 1),
+    )
+    def sharded_step(params, opt_state, x, m, key, epoch):
+        return step_fn(params, opt_state, x, m, key, epoch)
+
+    def shard_inputs(params, opt_state, x, m):
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, opt_shard)
+        x = jax.device_put(x, b_shard)
+        m = jax.device_put(m, b_shard)
+        return params, opt_state, x, m
+
+    return sharded_step, shard_inputs, tx
+
+
+def _match_opt_sharding(leaf, params, p_shard, mesh):
+    """Adam moments mirror their parameter's sharding; scalars replicate."""
+    # match by shape against the params tree
+    flat_p = jax.tree_util.tree_leaves(params)
+    flat_s = jax.tree_util.tree_leaves(p_shard)
+    for p, s in zip(flat_p, flat_s):
+        if hasattr(leaf, "shape") and leaf.shape == p.shape:
+            return s
+    return NamedSharding(mesh, P())
+
+
+def dryrun_train_step(cfg: RunConfig, mesh, obs_dim: int = 8,
+                      batch_per_device: int = 4, seed: int = 0):
+    """Compile + execute ONE full sharded training step on tiny shapes.
+
+    Used by the multi-chip dry-run harness: validates that the dp/tp sharding
+    rules produce a program that compiles and runs on an n-device mesh.
+    Returns the scalar loss.
+    """
+    model = get_model(cfg)
+    key = jax.random.PRNGKey(seed)
+    k_init, k_data, k_step = jax.random.split(key, 3)
+    params = model.init(k_init, cfg, obs_dim)
+
+    dp = mesh.shape["dp"]
+    B = batch_per_device * dp
+    x = jax.random.uniform(k_data, (B, obs_dim))
+    m = (jax.random.uniform(jax.random.fold_in(k_data, 1), (B, obs_dim)) < 0.7
+         ).astype(jnp.float32)
+
+    sharded_step, shard_inputs, tx = make_parallel_train_step(
+        cfg, mesh, model, params
+    )
+    opt_state = tx.init(params)
+    params, opt_state, x, m = shard_inputs(params, opt_state, x, m)
+    params, opt_state, loss = sharded_step(
+        params, opt_state, x, m, k_step, jnp.float32(1.0)
+    )
+    jax.block_until_ready(loss)
+    return float(loss)
