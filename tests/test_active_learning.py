@@ -1,0 +1,77 @@
+"""Active-learning engine: shapes, artifact layout, selection sanity
+(reference behavior: src/experiment_main/evaluate.py:300-511)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.engine import active_learning as al
+from vae_posterior_consistency_tpu.engine import artifacts as art
+from vae_posterior_consistency_tpu.models import get_model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", M=2,
+                    latent_dim=4)
+    model = get_model(cfg)
+    D, n = 5, 9
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, D))
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (n, D)) < 0.7).astype(
+        jnp.float32
+    )
+    return cfg, params, x, mask
+
+
+def test_al_shapes_and_artifacts(setup, tmp_path):
+    cfg, params, x, mask = setup
+    n, D = x.shape
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=2, params=params,
+                                  experiments_root=str(tmp_path))
+    assert out["information_curve"].shape == (2, n, D)
+    assert out["action"].shape == (2, n, D - 1)
+    assert out["R_hist"].shape == (2, D - 1, n, D - 1)
+    assert out["im"].shape == (2, D - 1, cfg.M, n, D)
+    for p in art.active_learning_paths(cfg, str(tmp_path)).values():
+        assert os.path.exists(p)
+
+
+def test_al_reveals_each_feature_once(setup, tmp_path):
+    cfg, params, x, mask = setup
+    n, D = x.shape
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
+                                  experiments_root=str(tmp_path), save=False)
+    actions = np.asarray(out["action"])[0]  # [n, D-1]
+    # per row, the D-1 candidate features are each revealed exactly once
+    for row in actions:
+        assert sorted(row.astype(int).tolist()) == list(range(D - 1))
+
+
+def test_al_rewards_masked_for_revealed(setup, tmp_path):
+    cfg, params, x, mask = setup
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
+                                  experiments_root=str(tmp_path), save=False)
+    R = np.asarray(out["R_hist"])[0]  # [D-1, n, D-1]
+    # at the last step, all but one candidate per row must be the -1e4 filler
+    last = R[-1]
+    assert ((last == al.NEG_INF_REWARD).sum(axis=1) == last.shape[1] - 1).all()
+
+
+def test_al_flow_ratio_reward(tmp_path):
+    """Flow-posterior models use the |log q - log q_i| ratio reward
+    (reference: evaluate.py:637-708)."""
+    cfg = RunConfig(vae_type="vanilla_flow1", data_type="synth_small", M=1,
+                    latent_dim=4, hid_dim=16)
+    model = get_model(cfg)
+    D, n = 5, 6
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, D))
+    mask = jnp.ones((n, D))
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
+                                  experiments_root=str(tmp_path), save=False)
+    assert np.isfinite(np.asarray(out["information_curve"])).all()

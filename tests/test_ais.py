@@ -1,0 +1,65 @@
+"""AIS+HMC estimator: schedules, and logZ accuracy on a tractable model
+(reference behavior: src/utils/AIS.py:19-305)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_posterior_consistency_tpu.engine import ais
+
+
+def test_linear_schedule():
+    s = ais.linear_schedule(5)
+    np.testing.assert_allclose(s, [0, 0.25, 0.5, 0.75, 1.0])
+
+
+def test_sigmoidial_schedule_endpoints():
+    s = ais.sigmoidial_schedule(50)
+    assert abs(s[0]) < 1e-12 and abs(s[-1] - 1.0) < 1e-12
+    assert np.all(np.diff(s) > 0)
+
+
+def test_ais_recovers_tractable_logz():
+    """Linear-Gaussian model: x = A z + noise, with exact marginal likelihood.
+
+    p(z) = N(0, I_L); p(x|z) = N(A z, s^2 I_D)  =>
+    p(x) = N(0, A A^T + s^2 I_D) — AIS must land near the closed form.
+    """
+    L, D, s = 2, 3, 0.5
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(L, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4, D)) * 0.8, jnp.float32)
+
+    def decoder_fn(z):
+        return z @ A, jnp.full((z.shape[0], D), 2.0 * np.log(s))
+
+    res = ais.ais_batch(decoder_fn, x, n_sample=64, latent_dim=L,
+                        schedule=ais.linear_schedule(150),
+                        key=jax.random.PRNGKey(0))
+    # closed-form log p(x) WITHOUT the 2pi constants (ais uses constant-free
+    # log-normals for both prior and likelihood; the -D/2 log(2pi) of the
+    # likelihood and the marginal cancel; what remains of the difference is
+    # the quadratic form + logdets)
+    cov = np.asarray(A).T @ np.asarray(A) + s**2 * np.eye(D)
+    xs = np.asarray(x)
+    # AIS target: log int p(z) p(x|z)^1 dz with constant-free densities
+    #   = log N_full(x; 0, cov) + D/2 log(2pi) [likelihood const dropped]
+    #     ... both prior and lik dropped their constants:
+    # log f_1(z) = -1/2(z'z + ||x-Az||^2/s^2 + D log s^2)
+    # => logZ = log \int ... dz = log N(x;0,cov) + (D+L)/2 log(2pi) - L/2 log(2pi)
+    #         = log N(x;0,cov) + D/2 log(2pi)
+    sign, logdet = np.linalg.slogdet(cov)
+    quad = np.einsum("bi,ij,bj->b", xs, np.linalg.inv(cov), xs)
+    expected = float(np.mean(-0.5 * (quad + logdet)))
+    assert abs(res.logw - expected) < 0.35, (res.logw, expected)
+
+
+def test_ais_latents_shape():
+    def decoder_fn(z):
+        return z[:, :1] * 0.0, jnp.zeros((z.shape[0], 1))
+
+    x = jnp.zeros((3, 1))
+    res = ais.ais_batch(decoder_fn, x, n_sample=8, latent_dim=2,
+                        schedule=ais.linear_schedule(10),
+                        key=jax.random.PRNGKey(1))
+    assert res.latents.shape == (3, 8, 2)

@@ -102,13 +102,13 @@ def test_reg_vae_klreg_loss_matches_reference_formula():
                                     cfg)
 
     # our loss draws z stochastically; the decoder mean depends on z. To make
-    # the comparison exact we evaluate both sides with the same z draws.
+    # the comparison exact we replicate the loss's draw pattern: one eps tensor
+    # of shape [2B, L] from the first split of the loss key.
     key = jax.random.PRNGKey(7)
     kq, kp, _ = jax.random.split(key, 3)
-    from vae_posterior_consistency_tpu.ops.math import reparameterize
-
-    z_q = reparameterize(kq, mean_q, logvar_q)
-    z_p = reparameterize(kp, mean_p, logvar_p)
+    eps = jax.random.normal(kq, (2 * B, L))
+    z_q = mean_q + eps[:B] * jnp.exp(0.5 * logvar_q)
+    z_p = mean_p + eps[B:] * jnp.exp(0.5 * logvar_p)
     xm_q, _ = gauss.decode(params, z_q)
     xm_p, _ = gauss.decode(params, z_p)
 

@@ -1,0 +1,84 @@
+"""Mesh/sharding validation on the 8-virtual-CPU-device mesh (SURVEY.md §4:
+'TPU-specific tests run on CPU via xla_force_host_platform_device_count')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+from vae_posterior_consistency_tpu.parallel import sweep
+from vae_posterior_consistency_tpu.parallel.train_parallel import (
+    dryrun_train_step,
+    make_parallel_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_factor_devices():
+    assert meshlib.factor_devices(8) == (4, 2)
+    assert meshlib.factor_devices(2) == (2, 1)
+    assert meshlib.factor_devices(1) == (1, 1)
+
+
+def test_dryrun_full_mesh():
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    cfg = RunConfig(vae_type="reg_vae1", hid_dim=256, latent_dim=4)
+    loss = dryrun_train_step(cfg, mesh, obs_dim=6, batch_per_device=2)
+    assert np.isfinite(loss)
+
+
+def test_sharded_step_matches_single_device():
+    """The dp/tp-sharded step must compute the same loss and updated params as
+    the unsharded step (same key, same data)."""
+    from vae_posterior_consistency_tpu.engine.train import make_train_step
+
+    cfg = RunConfig(vae_type="reg_vae1", latent_dim=4)
+    model = get_model(cfg)
+    obs_dim, B = 6, 16
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, cfg, obs_dim)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, obs_dim))
+    m = (jax.random.uniform(jax.random.PRNGKey(2), (B, obs_dim)) < 0.7).astype(
+        jnp.float32
+    )
+    step_key = jax.random.PRNGKey(3)
+
+    step_fn, tx = make_train_step(cfg, model)
+    p1, _, loss1 = jax.jit(step_fn)(params, tx.init(params), x, m, step_key,
+                                    jnp.float32(1.0))
+
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    sharded_step, shard_inputs, tx2 = make_parallel_train_step(
+        cfg, mesh, model, params
+    )
+    opt2 = tx2.init(params)
+    sp, so, sx, sm = shard_inputs(params, opt2, x, m)
+    p2, _, loss2 = sharded_step(sp, so, sx, sm, step_key, jnp.float32(1.0))
+
+    assert abs(float(loss1) - float(loss2)) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_seed_ensemble_sweep(tiny_dataset):
+    from vae_posterior_consistency_tpu.data import loaders
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=6,
+                    batch_size=32, latent_dim=4)
+    params, hist = sweep.train_seed_ensemble(ds, cfg, seeds=[0, 1, 2])
+    assert hist.shape == (3, 6)
+    assert np.isfinite(hist).all()
+    # different seeds -> different trajectories
+    assert not np.allclose(hist[0], hist[1])
+    # ensemble leaves carry the seed axis
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert leaf.shape[0] == 3

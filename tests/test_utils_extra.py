@@ -1,0 +1,132 @@
+"""Tensor utils, flow combinators, early stopping, resume, debugging, MI,
+completion — the remaining SURVEY §2 inventory pieces."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.nn import flow, tensor_utils as tu
+from vae_posterior_consistency_tpu.utils.early_stopping import EarlyStopping
+
+
+def test_searchsorted():
+    cdf = jnp.asarray([[0.0, 0.2, 0.5, 1.0]])
+    vals = jnp.asarray([[0.1], [0.3], [0.9]])
+    idx = tu.searchsorted(jnp.repeat(cdf, 3, 0), vals[:, 0])
+    np.testing.assert_array_equal(np.asarray(idx), [0, 1, 2])
+
+
+def test_leading_dim_roundtrip():
+    x = jnp.arange(24).reshape(6, 4)
+    y = tu.split_leading_dim(x, (2, 3))
+    assert y.shape == (2, 3, 4)
+    z = tu.merge_leading_dims(y, 2)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+
+
+def test_random_orthogonal():
+    q = tu.random_orthogonal(jax.random.PRNGKey(0), 5)
+    np.testing.assert_allclose(np.asarray(q @ q.T), np.eye(5), atol=1e-5)
+
+
+def test_binary_masks():
+    m = tu.create_alternating_binary_mask(6, even=True)
+    np.testing.assert_array_equal(np.asarray(m), [1, 0, 1, 0, 1, 0])
+    m2 = tu.create_mid_split_binary_mask(5)
+    np.testing.assert_array_equal(np.asarray(m2), [1, 1, 1, 0, 0])
+    m3 = tu.create_random_binary_mask(jax.random.PRNGKey(1), 8)
+    assert int(m3.sum()) == 4
+
+
+def test_gaussian_kde():
+    samples = jax.random.normal(jax.random.PRNGKey(0), (2000, 1))
+    lp = tu.gaussian_kde_log_eval(samples, jnp.asarray([[0.0]]))
+    # density of N(0,1) at 0 is ~0.399
+    assert abs(float(jnp.exp(lp[0])) - 0.399) < 0.05
+
+
+def test_actnorm_invertible():
+    params = {"log_scale": jnp.asarray([0.5, -0.3]),
+              "shift": jnp.asarray([1.0, 2.0])}
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    y, ld = flow.actnorm_apply(params, x)
+    x2, ld_inv = flow.actnorm_apply(params, y, inverse=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=1e-6)
+
+
+def test_composite_and_inverse_transform():
+    p1 = {"log_scale": jnp.asarray([0.2]), "shift": jnp.asarray([0.5])}
+    layer = lambda x, c, inv: flow.actnorm_apply(p1, x, c, inv)
+    x = jnp.asarray([[1.0], [2.0]])
+    y, _ = flow.composite_apply([layer, layer], x)
+    x2, _ = flow.composite_apply([layer, layer], y, inverse=True)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-6)
+    # inverse_transform swaps directions: inv(fwd(x)) == x
+    inv_layer = flow.inverse_transform(layer)
+    y3, _ = inv_layer(*(layer(x, None, False)[0], None, False))
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(x), atol=1e-6)
+
+
+def test_early_stopping(tmp_path):
+    es = EarlyStopping(patience=2, path=str(tmp_path / "best.pt"))
+    p = {"w": jnp.ones((2, 2))}
+    assert not es.update(1.0, p)
+    assert not es.update(0.5, p)  # improvement
+    assert not es.update(0.6, p)  # 1
+    assert es.update(0.7, p) or es.counter == 2  # 2 -> stop
+    assert es.early_stop
+    assert os.path.exists(tmp_path / "best.pt")
+    assert es.best_loss == 0.5
+
+
+def test_train_resume(tiny_dataset, tmp_path):
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=6,
+                    batch_size=32, latent_dim=4)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    # run 6 epochs with a resume checkpoint every 3
+    p_full, h_full = T.train(ds, cfg, experiments_root=str(tmp_path),
+                             checkpoint_every=3)
+    # interrupt after 3 epochs, then resume to 6: same final params
+    cfg3 = cfg.replace(epoch=3)
+    T.train(ds, cfg3, experiments_root=str(tmp_path), checkpoint_every=3)
+    p_res, _ = T.train(ds, cfg, experiments_root=str(tmp_path),
+                       checkpoint_every=3, resume=True)
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_mutual_information_and_completion(batch):
+    from vae_posterior_consistency_tpu.engine.inference import (
+        completion,
+        mutual_information,
+    )
+    from vae_posterior_consistency_tpu.models import get_model
+
+    x, mask, mask_p = batch
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=4)
+    model = get_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), cfg, x.shape[1])
+    mi = mutual_information(params, x, mask, cfg)
+    assert bool(jnp.isfinite(mi))
+    im = completion(params, x, mask, mask_p, M=3, cfg=cfg)
+    assert im.shape == (3,) + x.shape
+
+
+def test_checked_nan_tripwire():
+    from vae_posterior_consistency_tpu.utils.debugging import checked
+
+    def bad(x):
+        return jnp.log(x)
+
+    import pytest
+
+    with pytest.raises(Exception):
+        checked(bad)(jnp.asarray(-1.0))

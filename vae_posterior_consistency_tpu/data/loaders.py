@@ -51,7 +51,9 @@ def _torch_load(path):
 
 
 def _load_indices(path) -> np.ndarray:
-    return np.loadtxt(path, delimiter=",").astype(np.int64).reshape(-1)
+    from vae_posterior_consistency_tpu.data import native_io
+
+    return native_io.read_csv(path).astype(np.int64).reshape(-1)
 
 
 def _transform(data: np.ndarray, how: str) -> np.ndarray:

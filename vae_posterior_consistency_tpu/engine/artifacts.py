@@ -38,7 +38,7 @@ def save_tensor(value, path: str) -> None:
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if not isinstance(value, torch.Tensor):
-        value = torch.as_tensor(np.asarray(value))
+        value = torch.as_tensor(np.array(value))
     torch.save(value, path)
 
 

@@ -1,0 +1,51 @@
+"""Inference utilities: conditional completion sampling and mutual-information
+estimation.
+
+- `completion`: M conditional imputation samples via repeated forward passes
+  (reference: src/utils/utils.py:192-208) — vmapped over the sample axis
+  instead of a Python loop.
+- `mutual_information`: the reference's MI=True loss branch for the Gaussian
+  families — KL_q / B minus KL(aggregated posterior || prior)
+  (reference: src/models/VAE.py:153-158, 308-313).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops.math import kl_diag_std
+
+
+def completion(params, x, mask, mask_p, M: int, cfg: RunConfig, key=None):
+    """M conditional samples of the completed data, [M, N, D]."""
+    model = get_model(cfg)
+    key = jax.random.PRNGKey(cfg.seed + 5) if key is None else key
+
+    def one(k):
+        out = model.eval_step(params, x, mask, mask_p, k, cfg)
+        return out["x_imputed"]
+
+    return jax.vmap(one)(jax.random.split(key, M))
+
+
+def mutual_information(params, x, mask, cfg: RunConfig):
+    """MI estimate for Gaussian-posterior families:
+    KL_q / B  -  KL( N(mean(mu), mean(logvar)) || N(0,I) )
+    (reference: src/models/VAE.py:153-158 — the 'aggregated posterior' is the
+    reference's coordinate-wise mean of the statistics)."""
+    model = get_model(cfg)
+    if model.encode_stats is None:
+        raise NotImplementedError(
+            "mutual_information needs a Gaussian-posterior family"
+        )
+    mean, logvar = model.encode_stats(params, x, mask, cfg)
+    if mean.ndim == 3:  # MIWAE-style [B, K, L] tiling
+        mean, logvar = mean[:, 0, :], logvar[:, 0, :]
+    KL_q = kl_diag_std(mean, logvar)
+    agg_mean = jnp.mean(mean, axis=0)
+    agg_logvar = jnp.mean(logvar, axis=0)
+    KL_agg = kl_diag_std(agg_mean, agg_logvar)
+    return KL_q / x.shape[0] - KL_agg

@@ -131,13 +131,23 @@ def train(
     chunk_epochs: int = 200,
     log_fn: Optional[Callable[[int, float], None]] = None,
     save: bool = True,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
 ):
     """Full training run; returns (params, per-epoch loss history).
 
     Equivalent of reference train() (src/experiment_main/train.py:13-133):
     fresh model, Adam(1e-3), cfg.epoch epochs, checkpoint saved to the mangled
     reference path at the end.
+
+    Framework additions beyond the reference (which only saves at the end and
+    cannot resume — SURVEY.md §5 'Checkpoint / resume'):
+    - `checkpoint_every=N` writes (params, optimizer state, epoch) to
+      `<checkpoint>.resume.pt` every N epochs;
+    - `resume=True` restarts from that state mid-training.
     """
+    import os
+
     key = jax.random.PRNGKey(cfg.seed) if key is None else key
     model = get_model(cfg)
     k_init, k_run = jax.random.split(key)
@@ -147,20 +157,39 @@ def train(
     run_chunk, tx = _build_epoch_runner(cfg, split.x, split.mask, model)
     opt_state = tx.init(params)
 
-    history = []
+    final_path = checkpoint.checkpoint_path(cfg, experiments_root)
+    resume_path = final_path + ".resume.pt"
     done = 0
+    if resume and os.path.exists(resume_path):
+        state = checkpoint.load(
+            {"params": params, "opt_state": opt_state,
+             "epoch": jnp.zeros((), jnp.int32)},
+            resume_path,
+        )
+        params, opt_state = state["params"], state["opt_state"]
+        done = int(state["epoch"])
+
+    history = []
     while done < cfg.epoch:
         n_e = min(chunk_epochs, cfg.epoch - done)
+        if checkpoint_every:
+            n_e = min(n_e, checkpoint_every - done % checkpoint_every)
         params, opt_state, losses = run_chunk(
             params, opt_state, k_run, jnp.asarray(done), n_e
         )
         history.extend(jax.device_get(losses).tolist())
         done += n_e
+        if checkpoint_every and done % checkpoint_every == 0:
+            checkpoint.save(
+                {"params": params, "opt_state": opt_state,
+                 "epoch": jnp.asarray(done, jnp.int32)},
+                resume_path,
+            )
         if log_fn is not None:
             log_fn(done, history[-1])
 
     if save:
-        checkpoint.save(params, checkpoint.checkpoint_path(cfg, experiments_root))
+        checkpoint.save(params, final_path)
     return params, history
 
 

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from vae_posterior_consistency_tpu.models import layers
+from vae_posterior_consistency_tpu.ops.fused_posterior import fused_posterior_auto
 from vae_posterior_consistency_tpu.ops.math import (
     FIXED_X_LOGVAR,
     kl_diag_diag,
@@ -118,36 +119,58 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg):
     """Per-batch training loss (stage='train' path of reference VAE.py:403-452).
 
     For vanilla (non-reg) types `mask_p` is ignored and the plain ELBO is used
-    (reference: VAE.py:1171-1196)."""
+    (reference: VAE.py:1171-1196).
+
+    TPU optimization: for regularized types the q- and p-branches share weights,
+    so both encoder/decoder passes run as ONE [2B, ...] matmul stream (the
+    reference runs them as two sequential forwards, VAE.py:502-506) — halves
+    the number of kernel launches per step."""
     B = x.shape[0]
     info = cfg.info
     kq, kp, kz = jax.random.split(key, 3)
     beta_scale = _anneal(epoch, cfg.beta_annealing) * cfg.beta
 
-    out_q = forward(params, x, mask, kq, cfg)
-    RE_q = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask)
-    KL_q = kl_diag_std(out_q["mean"], out_q["logvar"])
-    loss_q = RE_q + beta_scale * KL_q
-
     if not info.regularized:
+        out_q = forward(params, x, mask, kq, cfg)
+        RE_q = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], mask)
+        KL_q = kl_diag_std(out_q["mean"], out_q["logvar"])
+        loss_q = RE_q + beta_scale * KL_q
         loss = loss_q / B
         return loss, {"RE_q": RE_q / B, "KL_q": KL_q / B}
 
-    out_p = forward(params, x, mask_p, kp, cfg)
-    RE_p = _masked_re(x, out_p["x_mean"], out_p["x_logvar"], mask_p)
-    KL_p = kl_diag_std(out_p["mean"], out_p["logvar"])
+    # one [2B] encoder pass for both branches
+    mean_all, logvar_all = encode(
+        params,
+        jnp.concatenate([x, x], axis=0),
+        jnp.concatenate([mask, mask_p], axis=0),
+        cfg,
+    )
+    mean_q, mean_p = mean_all[:B], mean_all[B:]
+    logvar_q, logvar_p = logvar_all[:B], logvar_all[B:]
+
+    # fused reparameterize + KL(q||N(0,I)) + KL(p||N(0,I)) + KL(q||p)
+    # (Pallas on TPU; identical-math jnp path elsewhere)
+    eps = jax.random.normal(kq, mean_all.shape)
+    z_q, z_p, KL_q, KL_p, KL_reg = fused_posterior_auto(
+        mean_q, logvar_q, mean_p, logvar_p, eps[:B], eps[B:]
+    )
+    x_mean_all, x_logvar_all = decode(params,
+                                      jnp.concatenate([z_q, z_p], axis=0))
+    xm_q, xm_p = x_mean_all[:B], x_mean_all[B:]
+    xlv_q, xlv_p = x_logvar_all[:B], x_logvar_all[B:]
+
+    RE_q = _masked_re(x, xm_q, xlv_q, mask)
+    loss_q = RE_q + beta_scale * KL_q
+    RE_p = _masked_re(x, xm_p, xlv_p, mask_p)
     loss_p = RE_p + beta_scale * KL_p
 
     if cfg.reg_type == "ml_reg":
-        z_q = reparameterize(kz, out_q["mean"], out_q["logvar"])
-        z_loglike = -neg_gaussian_log_likelihood(z_q, out_p["mean"], out_p["logvar"])
+        z_q2 = reparameterize(kz, mean_q, logvar_q)
+        z_loglike = -neg_gaussian_log_likelihood(z_q2, mean_p, logvar_p)
         loss = loss_q - (epoch / MAX_EPOCH_ANNEAL) * cfg.alpha * z_loglike
     elif cfg.reg_type == "kl_reg":
-        KL_reg = kl_diag_diag(
-            out_q["mean"], out_q["logvar"], out_p["mean"], out_p["logvar"]
-        )
         extra_mask = mask * (1.0 - mask_p)
-        RE_extra = _masked_re(x, out_q["x_mean"], out_q["x_logvar"], extra_mask)
+        RE_extra = _masked_re(x, xm_q, xlv_q, extra_mask)
         loss = loss_q + cfg.alpha * (KL_reg - loss_q + loss_p + RE_extra)
     else:
         raise NotImplementedError(f"reg_type={cfg.reg_type!r}")

@@ -154,6 +154,80 @@ def flow_forward(key, context, dim, num_bins=None):
     return z, log_prob - log_det
 
 
+# ---------------------------------------------------------------------------
+# General transform combinators (the reference embeds an nflows-style transform
+# library around its spline flow — reference: src/models/VAE.py:1441-1675;
+# `Flow` itself only uses the spline stack, but these complete the library
+# surface: composite cascades, multiscale splitting, ActNorm, inversion.)
+# Transforms here are (params, fn) pairs: fn(params, x, context) ->
+# (y, elementwise logabsdet); `inverse=True` runs the inverse map.
+# ---------------------------------------------------------------------------
+
+
+class InverseNotAvailable(Exception):
+    """Raised when a transform has no inverse (reference: VAE.py:1429-1432)."""
+
+
+class InputOutsideDomain(Exception):
+    """Raised for out-of-domain spline inputs (reference: VAE.py:1435-1438)."""
+
+
+def composite_apply(layers, x, context=None, inverse=False):
+    """Sequential cascade with logdet accumulation
+    (reference: VAE.py:1451-1478). `layers` is a list of callables
+    fn(x, context, inverse) -> (y, logabsdet)."""
+    log_det = jnp.zeros_like(x)
+    seq = reversed(layers) if inverse else layers
+    for fn in seq:
+        x, ld = fn(x, context, inverse)
+        log_det = log_det + ld
+    return x, log_det
+
+
+def actnorm_init(dim):
+    """Per-dim affine (log_scale, shift) — identity init
+    (reference: VAE.py:1627-1657)."""
+    return {"log_scale": jnp.zeros((dim,)), "shift": jnp.zeros((dim,))}
+
+
+def actnorm_apply(params, x, context=None, inverse=False):
+    scale = jnp.exp(params["log_scale"])
+    if inverse:
+        y = (x - params["shift"]) / scale
+        ld = -jnp.broadcast_to(params["log_scale"], x.shape)
+    else:
+        y = x * scale + params["shift"]
+        ld = jnp.broadcast_to(params["log_scale"], x.shape)
+    return y, ld
+
+
+def inverse_transform(fn):
+    """Wrap a transform so forward and inverse swap
+    (reference: VAE.py:1660-1675)."""
+
+    def wrapped(x, context=None, inverse=False):
+        return fn(x, context, not inverse)
+
+    return wrapped
+
+
+def multiscale_apply(layers, x, context=None):
+    """RealNVP-style multiscale cascade: after each transform, split off half
+    the dims as latents (reference: VAE.py:1481-1624). Returns
+    (concatenated latents, total elementwise logabsdet summed per row)."""
+    outputs = []
+    log_det = jnp.zeros((x.shape[0],))
+    for i, fn in enumerate(layers):
+        x, ld = fn(x, context, False)
+        log_det = log_det + jnp.sum(ld, axis=-1)
+        if i < len(layers) - 1:
+            half = x.shape[-1] // 2
+            outputs.append(x[..., half:])
+            x = x[..., :half]
+    outputs.append(x)
+    return jnp.concatenate(outputs[::-1], axis=-1), log_det
+
+
 def flow_log_prob(z, context, dim, num_bins=None):
     """Element-wise log q(z | context) via the inverse pass
     (reference: src/models/VAE.py:1843-1857).

@@ -1,0 +1,39 @@
+"""Numerical-anomaly tripwires.
+
+The reference enables torch's global autograd anomaly detection in every entry
+point (reference: src/experiment_main/imputation.py:19 — NaN/inf tripwire at
+heavy runtime cost). The JAX equivalents here are opt-in:
+
+- `enable_nan_debugging()` — `jax_debug_nans`: re-runs the op that produced a
+  NaN un-jitted and raises with a stack trace.
+- `checked(fn)` — `checkify` wrapper surfacing NaN/OOB errors as values, usable
+  inside jit without deoptimizing the whole program.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.experimental import checkify
+
+
+def enable_nan_debugging(enable: bool = True) -> None:
+    """Global NaN tripwire (equivalent in intent to
+    torch.autograd.set_detect_anomaly(True))."""
+    jax.config.update("jax_debug_nans", enable)
+
+
+def checked(fn):
+    """Wrap fn with checkify NaN + index checks; the wrapper raises on error.
+
+    Usage: loss = checked(train_loss)(params, ...) — stays jit-compatible.
+    """
+    cfn = checkify.checkify(
+        fn, errors=checkify.float_checks | checkify.index_checks
+    )
+
+    def wrapper(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        err.throw()
+        return out
+
+    return wrapper
