@@ -42,19 +42,20 @@ def main():
     mask = jnp.asarray(rng.random((N_ROWS, OBS_DIM)) < 0.7, jnp.float32)
 
     params = model.init(jax.random.PRNGKey(0), cfg, OBS_DIM)
-    run_chunk, tx = _build_epoch_runner(cfg, data, mask, model)
-    opt_state = tx.init(params)
+    runner = _build_epoch_runner(cfg, data, mask, model, template_params=params)
+    pflat = runner.to_flat(params)
+    opt_state = runner.tx.init(pflat)
     key = jax.random.PRNGKey(1)
 
     # compile + warmup
-    params, opt_state, losses = run_chunk(params, opt_state, key,
-                                          jnp.asarray(0), WARMUP_EPOCHS)
+    pflat, opt_state, losses = runner(pflat, opt_state, key,
+                                      jnp.asarray(0), WARMUP_EPOCHS)
     jax.block_until_ready(losses)
 
     t0 = time.perf_counter()
-    params, opt_state, losses = run_chunk(params, opt_state, key,
-                                          jnp.asarray(WARMUP_EPOCHS),
-                                          BENCH_EPOCHS)
+    pflat, opt_state, losses = runner(pflat, opt_state, key,
+                                      jnp.asarray(WARMUP_EPOCHS),
+                                      BENCH_EPOCHS)
     jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
