@@ -1,0 +1,172 @@
+"""Statistical parity harness: run the ACTUAL reference (torch) and this
+framework on identical data/config and compare headline metrics.
+
+Bit-exact replication is impossible (different RNG streams — SURVEY.md §7
+"RNG parity"); the BASELINE target is "within noise", so this harness trains
+both stacks on the same artifacts with the same hyper-parameters and reports
+imputation RMSE / ELBO side by side over multiple seeds.
+
+The reference is imported read-only from /root/reference (its loaders pull in
+torchvision, which is absent here, so we stub it before import).
+
+Usage:  PYTHONPATH=. python3 tools/parity_check.py [--epochs 300] [--seeds 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def _stub_missing_modules():
+    """The reference imports torchvision/matplotlib at module scope without
+    using them in the paths we drive; stub what's absent."""
+    for name in ("torchvision",):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                mod = types.ModuleType(name)
+                mod.datasets = types.SimpleNamespace()
+                mod.transforms = types.SimpleNamespace()
+                sys.modules[name] = mod
+    try:
+        import matplotlib  # noqa: F401
+
+        matplotlib.use("Agg")
+    except ImportError:
+        mod = types.ModuleType("matplotlib")
+        mod.pyplot = types.ModuleType("matplotlib.pyplot")
+        sys.modules["matplotlib"] = mod
+        sys.modules["matplotlib.pyplot"] = mod.pyplot
+
+
+def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed):
+    """Train + evaluate with the reference's own code; returns metrics dict."""
+    import torch
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    _stub_missing_modules()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from src.experiment_main.evaluate import eval_vae as ref_eval_vae
+        from src.experiment_main.train import train as ref_train
+        from src.utils.loaders import data_loader as ref_data_loader
+
+        loader_train, loader_test, obs_dim = ref_data_loader(
+            "Data", vae_type, missing_rate, batch_size, data_type
+        )
+        tp = {"batch_size": batch_size, "patience": 100}
+        exp_type = "UCI_experiments_consistency_missingness"
+        ref_train(
+            loader_train, missing_rate, obs_dim, 500, 10, 1, 10, data_type,
+            tp, exp_type, vae_type, 1, 10, epochs,
+            alpha=1.0, p_missingness=30, reg_type="kl_reg",
+        )
+        ref_eval_vae(
+            [loader_train, loader_test], missing_rate, obs_dim, 500, 10, 2,
+            10, data_type, tp, exp_type, vae_type, epochs, 1, 10,
+            alpha=1.0, p_missingness=30, reg_type="kl_reg",
+        )
+        # read back the artifacts the reference saved
+        from vae_posterior_consistency_tpu.config import RunConfig
+        from vae_posterior_consistency_tpu.engine import artifacts as art
+
+        cfg = RunConfig(vae_type=vae_type, data_type=data_type,
+                        missing_rate=missing_rate, alpha=1.0,
+                        p_missingness=30, reg_type="kl_reg")
+        out = {}
+        for stage in ("train", "test"):
+            paths = art.eval_vae_paths(cfg, stage, "experiments")
+            out[stage] = {
+                k: float(torch.load(p, weights_only=False))
+                for k, p in paths.items()
+            }
+        return out
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed):
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import evaluate as E
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(
+        vae_type=vae_type, data_type=data_type, epoch=epochs,
+        batch_size=batch_size, missing_rate=missing_rate, M=2, alpha=1.0,
+        p_missingness=30, reg_type="kl_reg", seed=seed,
+    )
+    ds = loaders.data_loader("Data", vae_type, missing_rate, batch_size,
+                             data_type)
+    params, _ = T.train(ds, cfg, save=False)
+    res = E.eval_vae(ds, cfg, params=params, save=False)
+    return {
+        stage: {"rmse": m["rmse"], "elbo": m["loss"], "negll": m["negl"],
+                "negll_imp": m["negl_imp"]}
+        for stage, m in res.items()
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--vae_type", default="vanilla_vae1")
+    ap.add_argument("--data_type", default="synth_small")
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--missing_rate", type=int, default=30)
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--seeds", type=int, default=2)
+    args = ap.parse_args()
+
+    # run the jax side on CPU: parity is statistical, and this avoids fighting
+    # other processes for the single-tenant TPU tunnel
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    ref_runs, our_runs = [], []
+    for seed in range(args.seeds):
+        print(f"--- reference (torch) seed {seed} ---", flush=True)
+        ref_runs.append(run_reference(args.vae_type, args.data_type,
+                                      args.epochs, args.missing_rate,
+                                      args.batch_size, seed))
+        print(f"--- framework (jax) seed {seed} ---", flush=True)
+        our_runs.append(run_ours(args.vae_type, args.data_type, args.epochs,
+                                 args.missing_rate, args.batch_size, seed))
+
+    report = {}
+    for stage in ("train", "test"):
+        report[stage] = {}
+        for metric in ("rmse", "elbo", "negll", "negll_imp"):
+            r = [run[stage][metric] for run in ref_runs]
+            o = [run[stage][metric] for run in our_runs]
+            report[stage][metric] = {
+                "reference_mean": float(np.mean(r)),
+                "reference_std": float(np.std(r)),
+                "ours_mean": float(np.mean(o)),
+                "ours_std": float(np.std(o)),
+            }
+    print(json.dumps(report, indent=2))
+    # headline verdict: test RMSE within noise (3 combined sigma + 5% band)
+    t = report["test"]["rmse"]
+    tol = 3 * (t["reference_std"] + t["ours_std"]) + 0.05 * abs(
+        t["reference_mean"]
+    )
+    diff = abs(t["ours_mean"] - t["reference_mean"])
+    print(f"test RMSE: ref={t['reference_mean']:.4f} ours={t['ours_mean']:.4f} "
+          f"|diff|={diff:.4f} tol={tol:.4f} -> "
+          f"{'PARITY OK' if diff <= tol else 'OUT OF BAND'}")
+
+
+if __name__ == "__main__":
+    main()
