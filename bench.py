@@ -25,7 +25,7 @@ import numpy as np
 TORCH_CPU_BASELINE = 9723.0
 
 N_ROWS, OBS_DIM = 4898, 12
-WARMUP_EPOCHS, BENCH_EPOCHS = 20, 200
+BENCH_EPOCHS = 200
 
 
 def main():
@@ -47,19 +47,25 @@ def main():
     opt_state = runner.tx.init(pflat)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup
+    # compile + warmup with the SAME static chunk size as the timed call
+    # (a different n_epochs is a different compiled program — timing the first
+    # call of a shape would measure compilation, not the training loop)
     pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                      jnp.asarray(0), WARMUP_EPOCHS)
+                                      jnp.asarray(0), BENCH_EPOCHS)
     jax.block_until_ready(losses)
 
-    t0 = time.perf_counter()
-    pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                      jnp.asarray(WARMUP_EPOCHS),
-                                      BENCH_EPOCHS)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
+    best = None
+    done = BENCH_EPOCHS
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pflat, opt_state, losses = runner(pflat, opt_state, key,
+                                          jnp.asarray(done), BENCH_EPOCHS)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        done += BENCH_EPOCHS
+        best = dt if best is None else min(best, dt)
 
-    samples_per_sec = BENCH_EPOCHS * N_ROWS / dt
+    samples_per_sec = BENCH_EPOCHS * N_ROWS / best
     print(json.dumps({
         "metric": "flagship_train_throughput",
         "value": round(samples_per_sec, 1),
