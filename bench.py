@@ -17,6 +17,12 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: the flagship chunk program takes minutes to
+# compile through the TPU tunnel; cache it across bench invocations
+jax.config.update("jax_compilation_cache_dir", "/tmp/vpc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
