@@ -1,0 +1,100 @@
+"""Scaling benchmark: throughput vs batch size and vs IWAE sample count.
+
+The flagship bench (bench.py) pins the reference's exact run shape (batch 64 —
+latency-bound on a v5e). This tool maps the chip's headroom for production
+shapes: one optimizer step per timing unit, steady-state (program compiled
+before timing), batch sizes from the reference's 64 up to MXU-saturating sizes,
+and MIWAE importance-sample counts up to the reference's valid_k=5000.
+
+Usage:  PYTHONPATH=. python3 tools/bench_scaling.py
+Prints a JSON lines table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vpc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.flatten_util import ravel_pytree
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops import masks
+
+OBS_DIM = 12
+
+
+def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
+    """Samples/sec of a compiled scan of `n_timed` optimizer steps."""
+    model = get_model(cfg)
+    rng = np.random.default_rng(key)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, OBS_DIM)), jnp.float32)
+    m = jnp.asarray(rng.random((batch, OBS_DIM)) < 0.7, jnp.float32)
+    params = model.init(jax.random.PRNGKey(key), cfg, OBS_DIM)
+    pflat, unravel = ravel_pytree(params)
+    tx = optax.adam(1e-3)
+
+    def loss_fn(pf, k):
+        mp = masks.sub_mask(k, m, cfg.p_missingness)
+        return model.train_loss(unravel(pf), x, m, mp, k, jnp.float32(1.0),
+                                cfg)[0]
+
+    @jax.jit
+    def run(p, opt, key0):
+        def step(c, i):
+            p, opt = c
+            l, g = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(key0, i))
+            u, opt = tx.update(g, opt, p)
+            return (optax.apply_updates(p, u), opt), l
+
+        (p, opt), ls = jax.lax.scan(step, (p, opt), jnp.arange(n_timed),
+                                    unroll=4)
+        return p, opt, ls[-1]
+
+    p, opt = pflat, tx.init(pflat)
+    p, opt, _ = run(p, opt, jax.random.PRNGKey(1))  # compile + warmup
+    jax.block_until_ready(p)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, opt, last = run(p, opt, jax.random.PRNGKey(2))
+        jax.block_until_ready(last)
+        best = min(best, time.perf_counter() - t0)
+    return n_timed * batch / best
+
+
+def main():
+    device = str(jax.devices()[0])
+    # batch scaling, flagship reg_vae
+    for batch in (64, 256, 1024, 4096, 16384):
+        cfg = RunConfig(vae_type="reg_vae1")
+        sps = steady_state_step_rate(cfg, batch,
+                                     n_timed=max(200, 200000 // batch))
+        print(json.dumps({
+            "model": "reg_vae_klreg", "batch": batch, "iw_samples": 1,
+            "samples_per_sec": round(sps), "device": device,
+        }), flush=True)
+    # IWAE sample scaling, MIWAE at the reference's train/valid sample counts
+    for k in (20, 200, 1000, 5000):
+        cfg = RunConfig(vae_type="vanilla_MIWAE1", train_k=k)
+        sps = steady_state_step_rate(cfg, 64, n_timed=max(50, 20000 // k))
+        print(json.dumps({
+            "model": "miwae_iwae", "batch": 64, "iw_samples": k,
+            "samples_per_sec": round(sps), "device": device,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ with the reference's asymmetric v/var usage kept verbatim; the flow-posterior
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ ragged final batch, via row-validity weights on padded constant-shape batches.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

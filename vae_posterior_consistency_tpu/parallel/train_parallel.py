@@ -19,11 +19,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
+
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vae_posterior_consistency_tpu.config import RunConfig
-from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE, make_train_step
+from vae_posterior_consistency_tpu.engine.train import make_train_step
 from vae_posterior_consistency_tpu.models import get_model
 from vae_posterior_consistency_tpu.parallel import mesh as meshlib
 
