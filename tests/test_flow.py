@@ -12,8 +12,10 @@ def test_forward_inverse_roundtrip():
     key = jax.random.PRNGKey(0)
     pdf = jax.random.normal(key, (32, 10, 10))
     x = jnp.linspace(-0.95, 0.95, 10)[None, :].repeat(32, 0)
-    y, ld = flow.unconstrained_linear_spline(x, pdf, inverse=False)
-    x2, ld_inv = flow.unconstrained_linear_spline(y, pdf, inverse=True)
+    y, ld = flow.unconstrained_linear_spline(x, pdf, inverse=False,
+                                             tails="linear")
+    x2, ld_inv = flow.unconstrained_linear_spline(y, pdf, inverse=True,
+                                                  tails="linear")
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=2e-3)
     np.testing.assert_allclose(np.asarray(ld + ld_inv), 0.0, atol=2e-3)
 
@@ -21,16 +23,20 @@ def test_forward_inverse_roundtrip():
 def test_tails_identity():
     pdf = jax.random.normal(jax.random.PRNGKey(1), (4, 10, 10))
     x = jnp.asarray([[-3.0] * 10, [3.0] * 10, [1.5] * 10, [-1.5] * 10])
-    y, ld = flow.unconstrained_linear_spline(x, pdf, inverse=False)
+    y, ld = flow.unconstrained_linear_spline(x, pdf, inverse=False,
+                                             tails="linear")
     np.testing.assert_allclose(np.asarray(y), np.asarray(x))
     np.testing.assert_allclose(np.asarray(ld), 0.0)
+    # clamp mode (default): everything lands inside the interval
+    y_c, _ = flow.unconstrained_linear_spline(x, pdf, inverse=False)
+    assert float(jnp.abs(y_c).max()) <= 1.0
 
 
 def test_flow_logprob_consistency():
     """flow_forward's emitted log q(z) must equal flow_log_prob(z)."""
     ctx = jax.random.normal(jax.random.PRNGKey(2), (64, 100))
-    z, lp = flow.flow_forward(jax.random.PRNGKey(3), ctx, 10)
-    lp2 = flow.flow_log_prob(z, ctx, 10)
+    z, lp = flow.flow_forward(jax.random.PRNGKey(3), ctx, 10, tails="linear")
+    lp2 = flow.flow_log_prob(z, ctx, 10, tails="linear")
     np.testing.assert_allclose(np.asarray(lp), np.asarray(lp2), atol=5e-3)
 
 
@@ -69,7 +75,8 @@ def test_flow_density_normalizes():
     # importance-sample from a wide proposal over one latent dim grid
     grid = jnp.linspace(-4, 4, 2001)
     zs = jnp.zeros((2001, 10)).at[:, 0].set(grid)
-    lp = flow.flow_log_prob(zs, jnp.repeat(ctx, 2001, 0), 10)  # [2001, 10]
+    lp = flow.flow_log_prob(zs, jnp.repeat(ctx, 2001, 0), 10,
+                            tails="linear")  # [2001, 10]
     dens = jnp.exp(lp[:, 0])
     integral = float(jnp.trapezoid(dens, grid))
     assert abs(integral - 1.0) < 0.02

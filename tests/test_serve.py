@@ -1,0 +1,75 @@
+"""Imputation serving: bucketed jit path + HTTP endpoint round trip."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.engine.serve import ImputationServer, serve_http
+from vae_posterior_consistency_tpu.models import get_model
+
+
+def _server():
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=4)
+    model = get_model(cfg)
+    D = 6
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    return ImputationServer(params, cfg, D, buckets=(4, 16)), D
+
+
+def test_impute_preserves_observed_and_fills_missing():
+    srv, D = _server()
+    x = np.random.default_rng(0).uniform(0, 1, (5, D)).astype(np.float32)
+    mask = np.ones((5, D), np.float32)
+    mask[:, 2] = 0.0
+    filled, negll = srv.impute(x, mask)
+    assert filled.shape == (5, D)
+    # observed cells unchanged
+    np.testing.assert_allclose(filled * mask, x * mask, atol=1e-6)
+    # missing cells replaced by the model (sigmoid outputs in (0,1))
+    assert np.all(filled[:, 2] > 0) and np.all(filled[:, 2] < 1)
+    assert negll.shape == (5,)
+
+
+def test_bucketing_no_shape_blowup():
+    srv, D = _server()
+    for n in (1, 3, 4, 9, 16, 33):
+        x = np.zeros((n, D), np.float32)
+        mask = np.ones((n, D), np.float32)
+        filled, negll = srv.impute(x, mask)
+        assert filled.shape == (n, D)
+
+
+def test_http_round_trip():
+    srv, D = _server()
+    import socket
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    t = threading.Thread(target=serve_http, args=(srv, "127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time
+
+    payload = {"x": [[0.5] * D], "mask": [[1, 1, 0, 1, 1, 1]]}
+    for _ in range(50):
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/impute",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=5) as resp:
+                out = json.loads(resp.read())
+            break
+        except OSError:
+            time.sleep(0.2)
+    assert len(out["imputed"]) == 1
+    assert len(out["imputed"][0]) == D
+    assert len(out["row_negll"]) == 1

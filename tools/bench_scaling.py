@@ -77,23 +77,28 @@ def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
 
 def main():
     device = str(jax.devices()[0])
-    # batch scaling, flagship reg_vae
-    for batch in (64, 256, 1024, 4096, 16384):
-        cfg = RunConfig(vae_type="reg_vae1")
-        sps = steady_state_step_rate(cfg, batch,
-                                     n_timed=max(200, 200000 // batch))
+
+    def record(label, cfg, batch, k, n_timed):
+        try:
+            sps = steady_state_step_rate(cfg, batch, n_timed=n_timed)
+        except Exception as e:  # the remote-compile service can 500 on big
+            print(json.dumps({"model": label, "batch": batch,
+                              "iw_samples": k, "error": str(e)[:120]}),
+                  flush=True)
+            return
         print(json.dumps({
-            "model": "reg_vae_klreg", "batch": batch, "iw_samples": 1,
+            "model": label, "batch": batch, "iw_samples": k,
             "samples_per_sec": round(sps), "device": device,
         }), flush=True)
+
+    # batch scaling, flagship reg_vae
+    for batch in (64, 256, 1024, 4096):
+        record("reg_vae_klreg", RunConfig(vae_type="reg_vae1"), batch, 1,
+               max(200, 200000 // batch))
     # IWAE sample scaling, MIWAE at the reference's train/valid sample counts
     for k in (20, 200, 1000, 5000):
-        cfg = RunConfig(vae_type="vanilla_MIWAE1", train_k=k)
-        sps = steady_state_step_rate(cfg, 64, n_timed=max(50, 20000 // k))
-        print(json.dumps({
-            "model": "miwae_iwae", "batch": 64, "iw_samples": k,
-            "samples_per_sec": round(sps), "device": device,
-        }), flush=True)
+        record("miwae_iwae", RunConfig(vae_type="vanilla_MIWAE1", train_k=k),
+               64, k, max(50, 20000 // k))
 
 
 if __name__ == "__main__":

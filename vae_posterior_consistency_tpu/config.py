@@ -161,6 +161,16 @@ class RunConfig:
     seed: int = 0
     data_transform: str = "minmax"  # 'minmax' | 'stand'
     not_miwae_type: str = "changed"  # 'changed' | 'author'
+    # flow-posterior tail handling: 'clamp' (reference-effective; bounds the
+    # latent support and trains markedly better — see nn/flow.py) | 'linear'
+    # (true linear tails, the reference code's documented intent)
+    flow_tails: str = "clamp"
+    # notMIWAE bound: False = reference objective (logsumexp of the positive
+    # negative-log-weights, VAE.py:2803-2807); True = textbook IWAE bound
+    fixed_iwae_bound: bool = False
+    # regularized notMIWAE variant: 'v2' (factory default) | 'both_s' |
+    # 'sampled_mask' (see models/notmiwae.py)
+    reg_notmiwae_variant: str = "v2"
 
     @property
     def info(self) -> VaeTypeInfo:

