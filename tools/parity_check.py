@@ -199,6 +199,81 @@ def run_ours_mnar(vae_type, data_type, epochs, batch_size, seed,
     return {"test": {"rmse": rmse}}
 
 
+def run_reference_al(vae_type, data_type, epochs, missing_rate, batch_size,
+                     seed, M=2):
+    """Active-learning episode through the reference's own code
+    (reference: src/experiment_main/active_learning.py:23-74 +
+    evaluate.py:300-511). Trains its own checkpoint first (the reference AL
+    expects one on disk). Returns the information curve [n_steps+1]."""
+    import torch
+
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    _stub_missing_modules()
+    sys.path.insert(0, REFERENCE)
+    try:
+        from src.experiment_main.evaluate import (
+            active_learning_func as ref_al,
+        )
+        from src.experiment_main.train import train as ref_train
+        from src.utils.loaders import data_loader as ref_data_loader
+
+        loader_train, loader_test, obs_dim = ref_data_loader(
+            "Data", vae_type, missing_rate, batch_size, data_type
+        )
+        tp = {"batch_size": batch_size, "patience": 100}
+        exp_type = "UCI_experiments_consistency_missingness"
+        ref_train(loader_train, missing_rate, obs_dim, 500, 10, M, 10,
+                  data_type, tp, exp_type, vae_type, 1, 10, epochs,
+                  alpha=1.0, p_missingness=30, reg_type="kl_reg")
+        # raw test tensors as the AL entry script builds them
+        index = [c for c in vae_type if c.isdigit()][0]
+        data = torch.load(f"Data/{data_type}/data.pt", weights_only=False)
+        mask = torch.load(
+            f"Data/{data_type}/mask_{missing_rate}_missing{index}.pt",
+            weights_only=False,
+        )
+        test_idx = np.loadtxt(f"Data/{data_type}/test_index{index}.csv",
+                              delimiter=",").astype(int).reshape(-1)
+        lo, hi = data.min(axis=0).values, data.max(axis=0).values
+        data = (data - lo) / (hi - lo)
+        ref_al(loader_train, data[test_idx].float(), mask[test_idx].float(),
+               missing_rate, obs_dim, 500, 10, M, 10, data_type, tp, exp_type,
+               vae_type, epochs, 1, 10, alpha=1.0, p_missingness=30,
+               reg_type="kl_reg", Repeat=1)
+        from vae_posterior_consistency_tpu.config import RunConfig
+        from vae_posterior_consistency_tpu.engine import artifacts as art
+
+        cfg = RunConfig(vae_type=vae_type, data_type=data_type,
+                        missing_rate=missing_rate, alpha=1.0,
+                        p_missingness=30, reg_type="kl_reg", M=M)
+        path = art.active_learning_paths(cfg, "experiments")[
+            "information_curve"
+        ]
+        curve = torch.load(path, weights_only=False)
+        return np.asarray(curve)[0, 0, :]  # scalar MSE per step
+    finally:
+        sys.path.remove(REFERENCE)
+
+
+def run_ours_al(vae_type, data_type, epochs, missing_rate, batch_size, seed,
+                M=2):
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import active_learning as al
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(vae_type=vae_type, data_type=data_type, epoch=epochs,
+                    batch_size=batch_size, missing_rate=missing_rate, M=M,
+                    alpha=1.0, p_missingness=30, reg_type="kl_reg", seed=seed)
+    ds = loaders.data_loader("Data", vae_type, missing_rate, batch_size,
+                             data_type)
+    params, _ = T.train(ds, cfg, save=False)
+    out = al.active_learning_func(None, ds.test.x, ds.test.mask, cfg,
+                                  Repeat=1, params=params, save=False)
+    return np.asarray(out["information_curve"])[0, 0, :]
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--vae_type", default="vanilla_vae1")
@@ -207,6 +282,8 @@ def main():
     ap.add_argument("--missing_rate", type=int, default=30)
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--seeds", type=int, default=2)
+    ap.add_argument("--al", action="store_true",
+                    help="compare active-learning information curves instead")
     args = ap.parse_args()
 
     # run the jax side on CPU: parity is statistical, and this avoids fighting
@@ -214,6 +291,34 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    if args.al:
+        ref_curves, our_curves = [], []
+        for seed in range(args.seeds):
+            print(f"--- reference AL seed {seed} ---", flush=True)
+            ref_curves.append(run_reference_al(
+                args.vae_type, args.data_type, args.epochs, args.missing_rate,
+                args.batch_size, seed))
+            print(f"--- framework AL seed {seed} ---", flush=True)
+            our_curves.append(run_ours_al(
+                args.vae_type, args.data_type, args.epochs, args.missing_rate,
+                args.batch_size, seed))
+        ref_c = np.mean(ref_curves, axis=0)
+        our_c = np.mean(our_curves, axis=0)
+        print("reference info curve:", np.round(ref_c, 4).tolist())
+        print("ours      info curve:", np.round(our_c, 4).tolist())
+        # both curves should end substantially below where they start, and the
+        # endpoints should agree within combined run-to-run noise
+        ref_sd = np.std([c[-1] for c in ref_curves]) + 1e-9
+        our_sd = np.std([c[-1] for c in our_curves]) + 1e-9
+        tol = 3 * (ref_sd + our_sd) + 0.25 * abs(ref_c[-1])
+        diff = our_c[-1] - ref_c[-1]
+        verdict = ("PARITY OK" if abs(diff) <= tol
+                   else ("BETTER THAN REFERENCE" if diff < 0
+                         else "WORSE — INVESTIGATE"))
+        print(f"final target-MSE: ref={ref_c[-1]:.4f} ours={our_c[-1]:.4f} "
+              f"diff={diff:+.4f} tol={tol:.4f} -> {verdict}")
+        return
 
     is_mnar = "notMIWAE" in args.vae_type
     is_miwae = "MIWAE" in args.vae_type and not is_mnar
