@@ -59,6 +59,27 @@ def save(params, path: str) -> None:
     torch.save(_flatten(params), path)
 
 
+def save_orbax(params, path: str) -> None:
+    """Orbax backend: atomic, production-grade pytree checkpointing (the
+    torch-pickle `save` keeps reference artifact-format parity; use this for
+    durable training state)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(os.path.abspath(path), jax.device_get(params), force=True)
+
+
+def load_orbax(template_params, path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    # re-attach the template's tree structure (orbax restores plain nests)
+    leaves = jax.tree_util.tree_leaves(restored)
+    treedef = jax.tree_util.tree_structure(template_params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def load(template_params, path: str):
     """Load into the structure of `template_params` (from a fresh `init`)."""
     import torch

@@ -35,7 +35,6 @@ from vae_posterior_consistency_tpu.models import layers
 from vae_posterior_consistency_tpu.ops.fused_posterior import fused_posterior_auto
 from vae_posterior_consistency_tpu.ops.math import (
     FIXED_X_LOGVAR,
-    kl_diag_diag,
     kl_diag_std,
     neg_gaussian_log_likelihood,
     reparameterize,
