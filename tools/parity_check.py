@@ -49,6 +49,17 @@ def _stub_missing_modules():
         sys.modules["matplotlib.pyplot"] = mod.pyplot
 
 
+def _ensure_ref_dirs(exp_type, data_type, vae_type):
+    """The reference's torch.save calls assume the experiments tree already
+    exists (it never makedirs); create the family dirs it will write into."""
+    from vae_posterior_consistency_tpu.engine.checkpoint import family_dir
+
+    fam = family_dir(vae_type)
+    for sub in ("checkpoints", "rest", "elbos"):
+        os.makedirs(os.path.join("experiments", exp_type, data_type, sub, fam),
+                    exist_ok=True)
+
+
 def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
                   train_k=1, valid_k=1):
     """Train + evaluate with the reference's own code; returns metrics dict.
@@ -73,6 +84,7 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
         )
         tp = {"batch_size": batch_size, "patience": 100}
         exp_type = "UCI_experiments_consistency_missingness"
+        _ensure_ref_dirs(exp_type, data_type, vae_type)
         ref_train(
             loader_train, missing_rate, obs_dim, 500, 10, 1, 10, data_type,
             tp, exp_type, vae_type, train_k, 10, epochs,
@@ -163,6 +175,7 @@ def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
 
         tp = {"batch_size": batch_size, "patience": 100}
         exp_type = "UCI_experiments_consistency_missingness"
+        _ensure_ref_dirs(exp_type, data_type, vae_type)
         ref_train(loader, 50, obs_dim, 500, 20, 1, 10, data_type, tp,
                   exp_type, vae_type, train_k, 10, epochs, alpha=1.0,
                   p_missingness=50, reg_type="kl_reg")
@@ -223,6 +236,7 @@ def run_reference_al(vae_type, data_type, epochs, missing_rate, batch_size,
         )
         tp = {"batch_size": batch_size, "patience": 100}
         exp_type = "UCI_experiments_consistency_missingness"
+        _ensure_ref_dirs(exp_type, data_type, vae_type)
         ref_train(loader_train, missing_rate, obs_dim, 500, 10, M, 10,
                   data_type, tp, exp_type, vae_type, 1, 10, epochs,
                   alpha=1.0, p_missingness=30, reg_type="kl_reg")
