@@ -78,10 +78,16 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
         from src.experiment_main.evaluate import eval_vae as ref_eval_vae
         from src.experiment_main.train import train as ref_train
         from src.utils.loaders import data_loader as ref_data_loader
+        from src.utils.loaders import data_loader_mnist as ref_data_loader_mnist
 
-        loader_train, loader_test, obs_dim = ref_data_loader(
-            "Data", vae_type, missing_rate, batch_size, data_type
-        )
+        if data_type == "mnist":
+            loader_train, loader_test, obs_dim = ref_data_loader_mnist(
+                "Data", vae_type, missing_rate, batch_size, data_type
+            )
+        else:
+            loader_train, loader_test, obs_dim = ref_data_loader(
+                "Data", vae_type, missing_rate, batch_size, data_type
+            )
         tp = {"batch_size": batch_size, "patience": 100}
         exp_type = "UCI_experiments_consistency_missingness"
         _ensure_ref_dirs(exp_type, data_type, vae_type)
@@ -132,8 +138,12 @@ def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed,
         p_missingness=30, reg_type="kl_reg", seed=seed,
         train_k=train_k, valid_k=valid_k,
     )
-    ds = loaders.data_loader("Data", vae_type, missing_rate, batch_size,
-                             data_type)
+    if data_type == "mnist":
+        ds = loaders.data_loader_mnist("Data", vae_type, missing_rate,
+                                       batch_size, data_type)
+    else:
+        ds = loaders.data_loader("Data", vae_type, missing_rate, batch_size,
+                                 data_type)
     params, _ = T.train(ds, cfg, save=False)
     res = E.eval_vae(ds, cfg, params=params, save=False)
     return {

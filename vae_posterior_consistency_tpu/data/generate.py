@@ -6,7 +6,7 @@ src/experiment_main/active_learning.py:35-45):
 
     data.pt                     [N, D] float tensor
     mask_<rate>_missing<i>.pt   [N, D] bool MCAR observation mask, i in {1,2,3}
-    mnar_mask_missing<i>.pt     [N, D] bool MNAR observation mask
+    mnar_mask_missing<i>.pt     [N, D] float32 MNAR observation mask (reference generators emit float)
     rand_perm<i>.pt             [N] long permutation
     train_index<i>.csv / test_index<i>.csv   row-index lists
 
@@ -52,7 +52,12 @@ def _mnar_mask(x: np.ndarray) -> np.ndarray:
     """MNAR: hide cells above the column mean in the first D/2 features
     (mirrors reference src/utils/utils.py:48-60)."""
     n, d = x.shape
-    mask = np.ones((n, d), dtype=bool)
+    # float32, not bool: the reference's own MNAR generators build the mask
+    # with torch.ones_like(X) (float) + zeroing (utils.py:48-60), and its
+    # REG_notMIWAE_v2 loss computes `1 - mask` which torch rejects for bool
+    # tensors (VAE.py:2407) — bool MNAR artifacts could never have been what
+    # the author ran with. MCAR artifacts stay bool (utils.py:36-39).
+    mask = np.ones((n, d), dtype=np.float32)
     half = d // 2
     mask[:, :half] = x[:, :half] <= x[:, :half].mean(axis=0)
     return mask
