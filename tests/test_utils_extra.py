@@ -130,3 +130,19 @@ def test_checked_nan_tripwire():
 
     with pytest.raises(Exception):
         checked(bad)(jnp.asarray(-1.0))
+
+
+def test_multiscale_apply_logdet_and_shapes():
+    """Multiscale cascade splits half the dims per scale and accumulates the
+    per-row logabsdet (reference behavior: src/models/VAE.py:1481-1624)."""
+    p = {"log_scale": jnp.asarray([0.3]), "shift": jnp.asarray([-0.1])}
+    layer = lambda x, c, inv: flow.actnorm_apply(p, x, c, inv)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(4, 8)),
+                    jnp.float32)
+    out, log_det = flow.multiscale_apply([layer, layer, layer], x)
+    # all dims come back out: 4 split off at scale 1, 2 at scale 2, 2 at end
+    assert out.shape == x.shape
+    assert log_det.shape == (4,)
+    # actnorm logdet per element is log_scale; dims seen: 8 + 4 + 2
+    np.testing.assert_allclose(np.asarray(log_det),
+                               0.3 * (8 + 4 + 2), rtol=1e-5)
