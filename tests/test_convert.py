@@ -238,3 +238,28 @@ def test_shape_mismatch_raises():
     cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=LAT + 1)
     with pytest.raises(ValueError, match="shape mismatch"):
         convert_state_dict(ref.state_dict(), cfg, OBS)
+
+
+def test_notmiwae_linear_logits_mapping():
+    """The reference's 'linear' missing-process Linear is `self.logits =
+    nn.Sequential(nn.Linear(D, D))` (VAE.py:2176,2371,2552) -> state_dict key
+    logits.0.*; it must land in params['logits_lin'] with the weight
+    transposed, not silently stay at fresh init."""
+    ref = _RefNotMIWAE()
+    ref.logits = nn.Sequential(nn.Linear(OBS, OBS))
+    cfg = RunConfig(vae_type="reg_notMIWAE1", latent_dim=LAT)
+    params = convert_state_dict(ref.state_dict(), cfg, OBS)
+    np.testing.assert_allclose(
+        np.asarray(params["logits_lin"]["w"]),
+        ref.logits[0].weight.detach().numpy().T, atol=1e-6)
+
+
+def test_unconsumed_keys_raise():
+    """A state_dict tensor no converter consumes must be a hard error, not a
+    silent drop of trained weights."""
+    ref = _RefDense()
+    sd = dict(ref.state_dict())
+    sd["mystery.0.weight"] = torch.randn(3, 3)
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=LAT)
+    with pytest.raises(ValueError, match="not consumed"):
+        convert_state_dict(sd, cfg, OBS)

@@ -69,7 +69,7 @@ def _linear(sd, prefix):
     return {"w": _np(sd[f"{prefix}.weight"]).T, "b": _np(sd[f"{prefix}.bias"])}
 
 
-def _seq_mlp(sd, prefix, max_idx=32):
+def _seq_mlp(sd, prefix):
     """A torch nn.Sequential of Linears (+activations) -> mlp_init-style tree.
 
     Sequential indices of the Linear modules (0, 2, 4, ...) are discovered from
@@ -82,7 +82,6 @@ def _seq_mlp(sd, prefix, max_idx=32):
     )
     if not idxs:
         raise KeyError(f"no Linear weights under '{prefix}.*' in state_dict")
-    del max_idx
     return {f"layer{j}": _linear(sd, f"{prefix}.{i}")
             for j, i in enumerate(idxs)}
 
@@ -126,11 +125,11 @@ def _convert_notmiwae(sd, cfg):
         "W": _np(sd["W"]),
         "b": _np(sd["b"]),
     }
-    # the reference's 'linear' missing-process uses W as a [D,D] Linear-style
-    # matmul only when missing_process='linear'; its checkpoints for that mode
-    # still store W/[1,1,D] b — keep a fresh logits_lin only if absent
-    if "logits_lin.weight" in sd:
-        params["logits_lin"] = _linear(sd, "logits_lin")
+    # the reference's 'linear' missing-process Linear lives in
+    # `self.logits = nn.Sequential(nn.Linear(D, D))` (VAE.py:2176, 2371,
+    # 2552) -> state_dict keys logits.0.weight / logits.0.bias
+    if "logits.0.weight" in sd:
+        params["logits_lin"] = _linear(sd, "logits.0")
     return params
 
 
@@ -170,10 +169,35 @@ def convert_state_dict(sd, cfg, obs_dim: int):
 
     from vae_posterior_consistency_tpu.models import get_model
 
-    sd = {k: v for k, v in sd.items()}
+    class _TrackedDict(dict):
+        """Records which state_dict keys the converter actually consumed, so
+        key-mapping gaps fail loudly instead of silently dropping weights."""
+
+        def __init__(self, *a):
+            super().__init__(*a)
+            self.consumed = set()
+
+        def __getitem__(self, k):
+            self.consumed.add(k)
+            return super().__getitem__(k)
+
+    sd = _TrackedDict(sd)
     model = get_model(cfg)
     fn = _CONVERTERS[model.name]
     params = fn(sd, cfg)
+
+    # registered-but-dead reference params that legitimately stay behind
+    # (cited in the module docstring)
+    dead_ok = ("encoder_mean", "encoder_logvar", "flows.", "flow.",
+               "prior_") if model.name == "flow" else ("prior_",)
+    unconsumed = [k for k in sd if k not in sd.consumed
+                  and not k.startswith(dead_ok)]
+    if unconsumed:
+        raise ValueError(
+            "reference state_dict tensors not consumed by the converter "
+            f"(key-mapping gap, trained weights would be dropped): "
+            f"{sorted(unconsumed)}"
+        )
 
     template = model.init(jax.random.PRNGKey(0), cfg, obs_dim)
     t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
@@ -216,6 +240,14 @@ def main():
     ap.add_argument("--reg_type", default="kl_reg")
     ap.add_argument("--missing_rate", type=int, default=30)
     ap.add_argument("--obs_dim", type=int, required=True)
+    # architecture sizes must match how the reference checkpoint was trained
+    ap.add_argument("--latent_dim", type=int, default=10)
+    ap.add_argument("--K", type=int, default=10,
+                    help="EDDI embedding width")
+    ap.add_argument("--hid_dim", type=int, default=500,
+                    help="flow trunk width")
+    ap.add_argument("--not_miwae_type", default="changed",
+                    choices=["changed", "author"])
     ap.add_argument("--out", default=None,
                     help="output path (default: framework-mangled path)")
     args = ap.parse_args()
@@ -235,16 +267,17 @@ def main():
 
     cfg = RunConfig(vae_type=args.vae_type, data_type=args.data_type,
                     alpha=args.alpha, p_missingness=args.p_missingness,
-                    reg_type=args.reg_type, missing_rate=args.missing_rate)
+                    reg_type=args.reg_type, missing_rate=args.missing_rate,
+                    latent_dim=args.latent_dim, K=args.K,
+                    hid_dim=args.hid_dim,
+                    not_miwae_type=args.not_miwae_type)
     sd = torch.load(args.checkpoint, map_location="cpu")
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = convert_state_dict(sd, cfg, args.obs_dim)
     out = args.out or ckpt.checkpoint_path(cfg)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    ckpt.save(params, out)
-    n = sum(int(np.size(x)) for x in
-            __import__("jax").tree_util.tree_leaves(params))
+    ckpt.save(params, out)  # save() creates parent dirs
+    n = sum(int(np.size(x)) for x in jax.tree_util.tree_leaves(params))
     print(f"converted {len(sd)} torch tensors -> {out} ({n} parameters)")
 
 

@@ -55,7 +55,9 @@ def _flatten(params) -> dict:
 def save(params, path: str) -> None:
     import torch
 
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    parent = os.path.dirname(path)
+    if parent:  # bare filenames save into cwd; makedirs('') would raise
+        os.makedirs(parent, exist_ok=True)
     torch.save(_flatten(params), path)
 
 

@@ -57,7 +57,6 @@ class ImputationServer:
     def warmup(self):
         """Pre-compile every bucket shape."""
         for b in self.buckets:
-            x = jnp.zeros((b, self.obs_dim))
             self.impute(np.zeros((b, self.obs_dim), np.float32),
                         np.ones((b, self.obs_dim), np.float32))
         return self
