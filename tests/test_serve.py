@@ -72,4 +72,4 @@ def test_http_round_trip():
             time.sleep(0.2)
     assert len(out["imputed"]) == 1
     assert len(out["imputed"][0]) == D
-    assert len(out["row_negll"]) == 1
+    assert len(out["row_score"]) == 1

@@ -98,42 +98,67 @@ def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int):
         return jnp.mean(jnp.square(im[:, :, -1] - x[None, :, -1]))
 
     def rewards(params, x, mask, im, key):
-        """R [n, D-1] via vmap over candidates, scan over MC samples."""
+        """R [n, D-1]: scan over MC samples, vmap over candidates.
 
-        def for_candidate(u, k_u):
-            u_onehot = jax.nn.one_hot(u, D)[None, :]
+        Gaussian-KL path: two of the reference's four encoder passes per
+        (candidate, sample) are candidate-invariant for every reward that
+        survives the `hidden` filter below — a candidate u only scores when u
+        is hidden under `mask`, and hidden features never reach the encoder
+        (inputs are x*mask / mask-weighted pools) — so q(x_mod, mask) ==
+        q(x, mask) (also sample-invariant) and q(x_mod2, mask_t) depends on
+        the sample but not the candidate. Hoisting them halves the encoder
+        FLOPs per selection step; surviving reward values are identical.
+        """
+        if is_flow:
+            def for_candidate(u, k_u):
+                u_onehot = jax.nn.one_hot(u, D)[None, :]
 
-            def body(acc, m):
-                x_mod = x * (1 - u_onehot) + im[m] * u_onehot
-                if is_flow:
+                def body(acc, m):
+                    x_mod = x * (1 - u_onehot) + im[m] * u_onehot
                     r = _flow_reward(model, params, cfg, x_mod, mask,
                                      u_onehot, last_onehot,
                                      jax.random.fold_in(k_u, m))
-                else:
-                    # reveal the target from the same imputation sample for the
-                    # second term (reference: evaluate.py:532-535 mutates
-                    # temp_x[loc, -1] before chaini_II)
-                    x_mod2 = x_mod * (1 - last_onehot) + im[m] * last_onehot
-                    mean, logvar = model.encode_stats(params, x_mod, mask, cfg)
+                    return acc + r, None
+
+                total, _ = jax.lax.scan(body, jnp.zeros((n_test,)),
+                                        jnp.arange(M))
+                return total / M
+
+            cand_keys = jax.random.split(key, n_steps)
+            R = jax.vmap(for_candidate)(jnp.arange(n_steps), cand_keys)
+        else:
+            mean0, logvar0 = model.encode_stats(params, x, mask, cfg)
+            mask_t = jnp.maximum(mask, last_onehot)
+
+            def per_sample(acc, m):
+                # reveal the target from the same imputation sample for the
+                # second term (reference: evaluate.py:532-535 mutates
+                # temp_x[loc, -1] before chaini_II)
+                x_last = x * (1 - last_onehot) + im[m] * last_onehot
+                mean_t, logvar_t = model.encode_stats(params, x_last, mask_t,
+                                                      cfg)
+
+                def for_candidate(u):
+                    u_onehot = jax.nn.one_hot(u, D)[None, :]
+                    x_mod = x * (1 - u_onehot) + im[m] * u_onehot
                     mask_u = jnp.maximum(mask, u_onehot)
-                    mean_u, logvar_u = model.encode_stats(params, x_mod, mask_u,
-                                                          cfg)
-                    kl_1 = _chaini_kl(mean, logvar, mean_u, logvar_u)
-                    mask_t = jnp.maximum(mask, last_onehot)
-                    mean_t, logvar_t = model.encode_stats(params, x_mod2, mask_t,
-                                                          cfg)
+                    mean_u, logvar_u = model.encode_stats(params, x_mod,
+                                                          mask_u, cfg)
+                    x_mod2 = x_mod * (1 - last_onehot) + im[m] * last_onehot
                     mask_tu = jnp.maximum(mask_t, u_onehot)
                     mean_tu, logvar_tu = model.encode_stats(params, x_mod2,
                                                             mask_tu, cfg)
+                    kl_1 = _chaini_kl(mean0, logvar0, mean_u, logvar_u)
                     kl_2 = _chaini_kl(mean_t, logvar_t, mean_tu, logvar_tu)
-                    r = kl_1 - kl_2
-                return acc + r, None
+                    return kl_1 - kl_2
 
-            total, _ = jax.lax.scan(body, jnp.zeros((n_test,)), jnp.arange(M))
-            return total / M
+                R_m = jax.vmap(for_candidate)(jnp.arange(n_steps))  # [D-1, n]
+                return acc + R_m, None
 
-        cand_keys = jax.random.split(key, n_steps)
-        R = jax.vmap(for_candidate)(jnp.arange(n_steps), cand_keys)  # [D-1, n]
+            total, _ = jax.lax.scan(per_sample,
+                                    jnp.zeros((n_steps, n_test)),
+                                    jnp.arange(M))
+            R = total / M
         R = R.T  # [n, D-1]
         hidden = mask[:, :n_steps] == 0.0
         return jnp.where(hidden, R, NEG_INF_REWARD)

@@ -79,11 +79,17 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     x_rep = jnp.tile(x, (n_sample, 1))
     schedule = jnp.asarray(schedule, jnp.float32)
 
-    def log_f(z, t):
+    def _prior_and_lik(z):
+        """One decoder evaluation -> (log p(z), log p(x|z)); every bridge
+        quantity is an affine combination of these two."""
         log_prior = _log_normal_nc(z)
         mean, logvar = decoder_fn(z)
         logvar = jnp.broadcast_to(logvar, mean.shape)
         log_lik = _log_normal_nc(x_rep, mean, logvar)
+        return log_prior, log_lik
+
+    def log_f(z, t):
+        log_prior, log_lik = _prior_and_lik(z)
         return log_prior + t * log_lik
 
     def U(z, t):
@@ -111,12 +117,15 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     def step(carry, inp):
         z, eps, accept_hist, logw, j = carry
         t0, t1, k = inp
-        logw = logw + log_f(z, t1) - log_f(z, t0)
+        # one decoder evaluation serves both the bridge increment
+        # (log f_t1 - log f_t0 = (t1-t0)·log p(x|z)) and cur_H's energy
+        lp_z, ll_z = _prior_and_lik(z)
+        logw = logw + (t1 - t0) * ll_z
         kv, ku = jax.random.split(k)
         v = jax.random.normal(kv, z.shape)
         z_new, v_new = hmc_leapfrog(z, v, eps, t1)
         # accept/reject with adaptive eps (reference: AIS.py:265-304)
-        cur_H = 0.5 * jnp.sum(jnp.square(v), 1) + U(z, t1)
+        cur_H = 0.5 * jnp.sum(jnp.square(v), 1) - (lp_z + t1 * ll_z)
         prop_H = 0.5 * jnp.sum(jnp.square(v_new), 1) + U(z_new, t1)
         prob = jnp.exp(cur_H - prop_H)
         accept = (prob > jax.random.uniform(ku, prob.shape)).astype(jnp.float32)
@@ -181,11 +190,13 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
         return gauss.decode(params, z)
 
     results = {}
-    for split in (dataset.train, dataset.test):
+    for split_idx, split in enumerate((dataset.train, dataset.test)):
         if split is None:
             continue
+        # fixed per-split key derivation (Python's str hash is salted per
+        # process and would make AIS chains non-reproducible across runs)
         res = ais_batch(decoder_fn, split.x, n_sample, cfg.latent_dim,
-                        schedule, jax.random.fold_in(key, hash(split.stage) % 97))
+                        schedule, jax.random.fold_in(key, split_idx))
         results[split.stage] = res
         if save:
             base = os.path.join(

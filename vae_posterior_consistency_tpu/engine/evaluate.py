@@ -36,7 +36,7 @@ def _pad_batches(n: int, bsz: int):
     return steps, steps * bsz - n
 
 
-def _split_eval_fn(cfg: RunConfig, model, n: int, obs_dim: int, num_samples):
+def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
     """Compile: (params, x, mask, key) -> per-rep aggregate metrics dict.
 
     One rep = one pass over the split in shuffled constant-size batches
@@ -102,7 +102,7 @@ def eval_vae(dataset: Dataset, cfg: RunConfig, params=None,
     for split in (dataset.train, dataset.test):
         if split is None:
             continue
-        one_rep = _split_eval_fn(cfg, model, split.n, dataset.obs_dim, num_samples)
+        one_rep = _split_eval_fn(cfg, model, split.n, num_samples)
         reps = []
         for m in range(cfg.M):
             reps.append(one_rep(params, split.x, split.mask,

@@ -5,7 +5,8 @@ packages a trained checkpoint as a low-latency imputation service:
 
 - `ImputationServer.impute(x, mask)` — jit-compiled, bucketed to a fixed set
   of batch shapes (no recompiles in steady state), returns the model's
-  imputation for the missing cells and the per-row negative log-likelihood.
+  imputation for the missing cells and a per-row quality score (the
+  negative evidence bound; lower = better fit, uniform across families).
 - Optional mesh: rows shard over `dp` for throughput serving.
 - `serve_http()` — a minimal stdlib HTTP endpoint (POST /impute with JSON
   {"x": [[...]], "mask": [[...]]}) for integration smoke tests.
@@ -37,7 +38,7 @@ class ImputationServer:
         self._base_key = jax.random.PRNGKey(cfg.seed + 9)
         self._ctr = 0  # host-side request counter; key derived inside the jit
 
-        model, obs = self.model, cfg
+        model = self.model
 
         @jax.jit
         def _impute(params, x, mask, base_key, ctr):
@@ -50,7 +51,12 @@ class ImputationServer:
                                   cfg)
             # fill only the missing cells; keep observed values verbatim
             filled = x * mask + out["x_imputed"] * (1.0 - mask)
-            return filled, out["row_negl"]
+            # quality score: the per-row NEGATIVE EVIDENCE BOUND (lower =
+            # better fit) — consistent across every model family, unlike
+            # row_negl whose llh_eval semantics are family-specific reference
+            # quirks (e.g. MIWAE's sign-flipped /5000 imputed log-lik,
+            # VAE.py:3099)
+            return filled, out["row_loss"]
 
         self._impute = _impute
 
@@ -62,7 +68,9 @@ class ImputationServer:
         return self
 
     def impute(self, x, mask):
-        """Impute missing cells; returns (filled [n,D], row_negll [n])."""
+        """Impute missing cells; returns (filled [n,D], row_score [n])
+        where row_score is the per-row negative evidence bound.
+        """
         x = np.asarray(x, np.float32)
         mask = np.asarray(mask, np.float32)
         n = x.shape[0]
@@ -100,7 +108,7 @@ def serve_http(server: ImputationServer, host: str = "127.0.0.1",
                 payload = json.loads(self.rfile.read(length))
                 filled, negll = server.impute(payload["x"], payload["mask"])
                 body = json.dumps(
-                    {"imputed": filled.tolist(), "row_negll": negll.tolist()}
+                    {"imputed": filled.tolist(), "row_score": negll.tolist()}
                 ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

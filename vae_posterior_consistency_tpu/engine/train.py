@@ -41,7 +41,7 @@ from vae_posterior_consistency_tpu.ops import masks
 LEARNING_RATE = 1e-3
 
 
-def make_train_step(cfg: RunConfig, model=None) -> Callable:
+def make_train_step(cfg: RunConfig, model=None) -> tuple[Callable, "optax.GradientTransformation"]:
     """Build the pure per-batch step:
     (params, opt_state, x, mask, key, epoch) -> (params, opt_state, loss).
 

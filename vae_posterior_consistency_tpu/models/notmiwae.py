@@ -165,11 +165,10 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg, num_samples=None,
                                 with_s=with_s_p)
     loss_p = _bound(l_w_p, K, fixed)
 
-    KL_reg = jnp.mean(
-        kl_diag_diag(out_q["mean"], out_q["logvar"], out_p["mean"],
-                     out_p["logvar"], axis=None)
-        / (out_q["mean"].shape[0] * out_q["mean"].shape[1])
-    )
+    # elementwise mean of the q/p KL (the reference's `.mean()`)
+    KL_reg = kl_diag_diag(out_q["mean"], out_q["logvar"], out_p["mean"],
+                          out_p["logvar"], axis=None) / (
+        out_q["mean"].shape[0] * out_q["mean"].shape[1])
     # reference takes the elementwise KL then .mean() (VAE.py:2448)
     extra = (mask * (1.0 - mask_p))[:, None, :]
     RE_extra = jnp.mean(

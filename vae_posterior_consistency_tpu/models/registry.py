@@ -57,7 +57,7 @@ _GAUSS = ModelDef(
     eval_step=gauss.eval_step,
     eval_kind="vae",
     uses_p_branch=True,  # refined per vae_type below
-    encode_stats=lambda params, x, mask, cfg: gauss.encode(params, x, mask, cfg),
+    encode_stats=gauss.encode,
 )
 
 _FLOW = ModelDef(
@@ -87,7 +87,7 @@ _NOTMIWAE = ModelDef(
     eval_step=notmiwae.eval_step,
     eval_kind="miwae",
     uses_p_branch=True,
-    encode_stats=lambda params, x, mask, cfg: notmiwae.encode(params, x, mask, cfg),
+    encode_stats=notmiwae.encode,
 )
 
 _FAMILY_TO_DEF = {
