@@ -22,6 +22,9 @@ import jax
 # compile through the TPU tunnel; cache it across bench invocations
 jax.config.update("jax_compilation_cache_dir", "/tmp/vpc_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# production PRNG: XLA RngBitGenerator — +32% train throughput over threefry
+# at the flagship shape, statistically identical training (RunConfig.rng_impl)
+jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp
 import numpy as np

@@ -31,6 +31,7 @@ import numpy as np
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
+    apply_rng_impl,
     iter_jsonl_configs,
     setup_parser,
 )
@@ -55,6 +56,7 @@ def main():
             for alpha in ALPHA_SWEEP:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)
+                apply_rng_impl(cfg)
                 index = cfg.info.split_index or "1"
                 base = os.path.join(cfg.data_path, cfg.data_type)
                 data = _torch_load(os.path.join(base, "data.pt")).astype(np.float32)

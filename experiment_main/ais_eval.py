@@ -29,6 +29,7 @@ if os.environ.get("VPC_DEBUG_NANS"):
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
+    apply_rng_impl,
     iter_jsonl_configs,
     setup_parser,
 )
@@ -43,6 +44,7 @@ def main():
     record = next(iter_jsonl_configs("Data/imputation_args.json"))
     args = setup_parser(record, "ais_eval").parse_args()
     cfg = RunConfig.from_args(args)
+    apply_rng_impl(cfg)
     if "MIWAE" in cfg.vae_type or "flow" in cfg.vae_type:
         raise SystemExit(
             "AIS needs a Gaussian-decoder family (vae/EDDI); got "

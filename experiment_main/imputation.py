@@ -31,6 +31,7 @@ if os.environ.get("VPC_DEBUG_NANS"):
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
+    apply_rng_impl,
     iter_jsonl_configs,
     setup_parser,
 )
@@ -54,6 +55,7 @@ def main():
             for alpha in ALPHA_SWEEP:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)
+                apply_rng_impl(cfg)
                 dataset = loaders.data_loader(
                     cfg.data_path, cfg.vae_type, cfg.missing_rate,
                     cfg.batch_size, cfg.data_type,

@@ -29,6 +29,7 @@ if os.environ.get("VPC_DEBUG_NANS"):
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
+    apply_rng_impl,
     iter_jsonl_configs,
     setup_parser,
 )
@@ -62,6 +63,7 @@ def main():
                     data_transform=DATA_TRANSFORM,
                     not_miwae_type=NOT_MIWAE_TYPE,
                 )
+                apply_rng_impl(cfg)
                 dataset = loaders.data_loader_mnar(
                     cfg.data_path, cfg.vae_type, cfg.missing_rate,
                     cfg.batch_size, cfg.data_type,

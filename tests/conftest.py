@@ -15,6 +15,9 @@ import jax  # noqa: E402
 # (which overrides the env var at import); force CPU through the config API —
 # the reliable override for plugin-registered platforms.
 jax.config.update("jax_platforms", "cpu")
+# pin threefry so golden values stay bit-reproducible (production default is
+# 'rbg' — see RunConfig.rng_impl)
+jax.config.update("jax_default_prng_impl", "threefry2x32")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

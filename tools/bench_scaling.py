@@ -23,6 +23,7 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/vpc_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_default_prng_impl", "rbg")  # production default
 
 import jax.numpy as jnp
 import numpy as np

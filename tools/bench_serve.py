@@ -30,6 +30,12 @@ OBS_DIM = 12
 N_REQ = 200
 
 
+def _set_prod_rng():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # production default
+
+
 def main():
     import jax
 
@@ -64,4 +70,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _set_prod_rng()
     main()
