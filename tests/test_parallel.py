@@ -82,3 +82,24 @@ def test_seed_ensemble_sweep(tiny_dataset):
     # ensemble leaves carry the seed axis
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.shape[0] == 3
+
+
+def test_alpha_ensemble_sweep(tiny_dataset):
+    """The alpha sweep axis trains as one vmapped program; alpha enters the
+    traced loss (reference's serial loop: imputation.py:24)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=20,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    params, hist = train_alpha_ensemble(ds, cfg, [0.0, 5.0],
+                                        chunk_epochs=10)
+    assert hist.shape == (2, 20)
+    assert np.all(np.isfinite(hist))
+    # the two regularization strengths must actually train differently
+    assert abs(hist[0, -1] - hist[1, -1]) > 1e-3
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(leaf.shape[0] == 2 for leaf in leaves)

@@ -96,3 +96,96 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200)
     import numpy as np
 
     return params, np.concatenate(history, axis=0).T  # [n_seeds, epochs]
+
+
+def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
+                         chunk_epochs: int = 200, seed: int = 0):
+    """Train the reference's alpha sweep axis (serial Python loop at
+    src/experiment_main/imputation.py:24) as ONE batched program: a replica
+    per regularization strength, vmapped over (params, opt_state, alpha).
+
+    alpha enters every family's composite loss purely arithmetically
+    (e.g. models/gauss.py:177), so a traced per-replica scalar substitutes
+    into cfg via cfg.replace. All replicas share the data, shuffling, and
+    mask streams — isolating the effect of alpha, which is what the sweep
+    studies. Returns (ensemble_params, loss_history [n_alphas, epochs]).
+    """
+    model = get_model(cfg)
+    alphas = jnp.asarray(alphas, jnp.float32)
+    n_alphas = len(alphas)
+    init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(seed), jnp.arange(n_alphas))
+    params = jax.vmap(lambda k: model.init(k, cfg, dataset.obs_dim))(init_keys)
+
+    tx = optax.adam(LEARNING_RATE)
+    opt_state = jax.vmap(tx.init)(params)
+
+    data, mask = dataset.train.x, dataset.train.mask
+    n = data.shape[0]
+    bsz = min(cfg.batch_size, n)
+    steps = math.ceil(n / bsz)
+    pad = steps * bsz - n
+    info = cfg.info
+
+    from vae_posterior_consistency_tpu.ops import masks as masks_ops
+
+    def step_fn(params, opt_state, alpha, x_b, m_b, key, epoch):
+        k_mask, k_model = jax.random.split(key)
+        if info.regularized:
+            mask_p = masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
+        else:
+            mask_p = jnp.ones_like(m_b)
+
+        def loss_fn(p):
+            return model.train_loss(p, x_b, m_b, mask_p, k_model, epoch,
+                                    cfg.replace(alpha=alpha))
+
+        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, epoch0, n_epochs):
+        def epoch_body(carry, off):
+            params, opt_state = carry
+            epoch = (epoch0 + off).astype(jnp.float32) + 1.0
+            ekey = jax.random.fold_in(jax.random.PRNGKey(seed + 7),
+                                      epoch0 + off)
+            kperm, kstep = jax.random.split(ekey)
+            perm = jax.random.permutation(kperm, n)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            x_epoch = jnp.take(data, perm, axis=0)
+            m_epoch = jnp.take(mask, perm, axis=0)
+
+            def body(carry2, s):
+                params, opt_state = carry2
+                x_b = jax.lax.dynamic_slice(
+                    x_epoch, (s * bsz, 0), (bsz, x_epoch.shape[1]))
+                m_b = jax.lax.dynamic_slice(
+                    m_epoch, (s * bsz, 0), (bsz, m_epoch.shape[1]))
+                skey = jax.random.fold_in(kstep, s)
+                params, opt_state, loss = jax.vmap(
+                    step_fn, (0, 0, 0, None, None, None, None)
+                )(params, opt_state, alphas, x_b, m_b, skey, epoch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(steps))
+            return (params, opt_state), jnp.sum(losses, axis=0)
+
+        (params, opt_state), hist = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs))
+        return params, opt_state, hist
+
+    history = []
+    done = 0
+    while done < cfg.epoch:
+        n_e = min(chunk_epochs, cfg.epoch - done)
+        params, opt_state, hist = run_chunk(params, opt_state,
+                                            jnp.asarray(done), n_e)
+        history.append(jax.device_get(hist))
+        done += n_e
+    import numpy as np
+
+    return params, np.concatenate(history, axis=0).T  # [n_alphas, epochs]
