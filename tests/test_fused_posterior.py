@@ -65,3 +65,22 @@ def test_jittable_and_vmappable():
     stacked = tuple(jnp.stack([a, a * 0.5]) for a in args)
     vouts = jax.vmap(fused_posterior)(*stacked)
     assert vouts[0].shape == (2, 8, 4)
+
+
+def test_multi_block_grid_accumulation():
+    """The row grid must accumulate the KL scalars across blocks and mask the
+    row padding of the final partial block."""
+    from vae_posterior_consistency_tpu.ops.fused_posterior import (
+        _fused_forward_impl,
+        fused_posterior_reference,
+    )
+
+    rng = np.random.default_rng(5)
+    B, L = 40, 10  # block_rows=16 -> 3 blocks, last one partial (40 -> 48)
+    args = [jnp.asarray(rng.normal(size=(B, L)), jnp.float32)
+            for _ in range(6)]
+    got = _fused_forward_impl(*args, interpret=True, block_rows=16)
+    want = fused_posterior_reference(*args)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-5,
+                                   atol=2e-5)

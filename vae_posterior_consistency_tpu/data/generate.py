@@ -79,13 +79,19 @@ def generate_uci(root: str, data_type: str, rates=(30, 50), n_splits=3,
                    delimiter=",", fmt="%d")
         np.savetxt(os.path.join(out, f"test_index{i}.csv"), test_idx[None],
                    delimiter=",", fmt="%d")
-        torch.save(torch.from_numpy(rng.permutation(n)),
+        rand_perm = rng.permutation(n)
+        torch.save(torch.from_numpy(rand_perm),
                    os.path.join(out, f"rand_perm{i}.pt"))
         for rate in rates:
             mcar = rng.random(x.shape) < (1.0 - rate / 100.0)
             torch.save(torch.from_numpy(mcar),
                        os.path.join(out, f"mask_{rate}_missing{i}.pt"))
-        torch.save(torch.from_numpy(_mnar_mask(x)),
+        # the MNAR loader permutes data rows by rand_perm<i> but loads the
+        # mask unpermuted (reference: src/utils/loaders.py:362-366), so the
+        # artifact must be generated from the PERMUTED table for mask row r
+        # to describe data row perm[r] — otherwise the missingness decorrelates
+        # from the values and the "MNAR" experiment is silently MCAR
+        torch.save(torch.from_numpy(_mnar_mask(x[rand_perm])),
                    os.path.join(out, f"mnar_mask_missing{i}.pt"))
 
 

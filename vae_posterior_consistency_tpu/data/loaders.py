@@ -57,6 +57,10 @@ def _load_indices(path) -> np.ndarray:
 
 
 def _transform(data: np.ndarray, how: str) -> np.ndarray:
+    # host-side numpy twin of ops/math.py:minmax_normalize/standardize (the
+    # jnp versions serve on-device callers); keep the two in sync — both
+    # deliberately reproduce the reference's no-guard divide (constant
+    # columns -> NaN, loaders.py:327-336)
     if how == "minmax":
         lo, hi = data.min(axis=0), data.max(axis=0)
         return (data - lo) / (hi - lo)

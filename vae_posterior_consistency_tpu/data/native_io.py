@@ -154,13 +154,35 @@ def unpack_mask(packed: np.ndarray, shape) -> np.ndarray:
     return out.reshape(shape)
 
 
+def _xorshift128p_uniforms(n: int, seed: int) -> np.ndarray:
+    """The exact xorshift128+ stream of native/vpc_io.cpp:vpc_mcar_mask, in
+    vectorizable numpy — the fallback must produce bit-identical masks for a
+    given seed whether or not the native library built."""
+    u64 = np.uint64
+    s0 = u64(seed ^ 0x9E3779B97F4A7C15)
+    s1 = u64(((seed << 1) | 1) & 0xFFFFFFFFFFFFFFFF)
+    out = np.empty(n, np.float64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            x, y = s0, s1
+            s0 = y
+            x ^= u64((int(x) << 23) & 0xFFFFFFFFFFFFFFFF)
+            s1 = x ^ y ^ (x >> u64(17)) ^ (y >> u64(26))
+            r = u64((int(s1) + int(y)) & 0xFFFFFFFFFFFFFFFF)
+            out[i] = int(r >> u64(11)) * (1.0 / 9007199254740992.0)
+    return out
+
+
 def mcar_mask(shape, missing_rate: float, seed: int) -> np.ndarray:
-    """Offline MCAR observation-mask sampling (artifact generation)."""
+    """Offline MCAR observation-mask sampling (artifact generation).
+
+    Native path and pure-python fallback share one RNG (xorshift128+), so
+    artifacts are reproducible per seed across hosts with or without g++."""
     n = int(np.prod(shape))
     lib = _load()
     if lib is None:
-        rng = np.random.default_rng(seed)
-        return (rng.random(n) < 1.0 - missing_rate / 100.0).astype(
+        u = _xorshift128p_uniforms(n, int(seed) & 0xFFFFFFFFFFFFFFFF)
+        return (u < 1.0 - missing_rate / 100.0).astype(
             np.float32
         ).reshape(shape)
     out = np.empty(n, np.float32)

@@ -1,9 +1,10 @@
 """Tensor/shape utilities mirroring the flow library's vendored support code
 (reference: src/models/VAE.py:1243-1426 — nflows-derived helpers).
 
-All are pure jnp re-implementations; `searchsorted` is the only one the spline
-flow itself consumes (reference: VAE.py:1392-1394), the rest complete the
-library's utility surface.
+All are pure jnp re-implementations. `searchsorted` mirrors the reference's
+spline bin lookup (VAE.py:1392-1394); the spline itself inlines a clipped
+variant tuned to the clamp-tails default (nn/flow.py:linear_spline_inverse).
+The rest complete the vendored library's utility surface.
 """
 
 from __future__ import annotations

@@ -4,9 +4,10 @@ The posterior-consistency loss tail touches the encoder statistics of both
 branches many times (z = mu + eps*sigma sampling, KL(q||N(0,I)), KL(p||N(0,I)),
 KL(q||p)) — in the reference this is ~20 eager torch.distributions ops
 (reference: src/models/VAE.py:435-446, 469-486). Here the whole tail runs as ONE
-Pallas kernel over a [B, L] VMEM block: a single pass over the statistics
-producing both branch samples and all three KL scalars, with a closed-form
-custom VJP (no stored activations beyond eps).
+Pallas kernel gridded over [block_rows, L] VMEM tiles (bounded VMEM at any
+batch size): a single pass over the statistics producing both branch samples
+and all three KL scalars (accumulated in SMEM across the sequential row
+grid), with a closed-form custom VJP (no stored activations beyond eps).
 
 Design notes:
 - eps is drawn with the framework's keyed `jax.random` PRNG *outside* the
@@ -20,9 +21,10 @@ Design notes:
   elementwise block — no residual tensors beyond (mean, logvar, eps).
 
 Validated compiled on real TPU v5e hardware (2026-08-16): forward and the
-custom VJP both match the XLA reference path to 2e-5 at [512,64]/[256,32]
-(interpret-mode equivalence is additionally pinned by
-tests/test_fused_posterior.py on CPU).
+custom VJP match the XLA reference path to 2e-5 at [512,64]/[256,32], and the
+row-gridded auto path at [8192,10] (16 blocks, the dispatch regime above
+PALLAS_MIN_ELEMS). Interpret-mode equivalence incl. multi-block accumulation
+is pinned by tests/test_fused_posterior.py on CPU.
 """
 
 from __future__ import annotations
@@ -42,13 +44,23 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+#: rows per grid block: 512x128 f32 = 256KB/buffer, 8 live buffers = 2MB VMEM
+#: per iteration — bounded regardless of batch size
+_BLOCK_ROWS = 512
+
+
 def _kernel(mq_ref, lq_ref, mp_ref, lp_ref, eq_ref, ep_ref,
-            zq_ref, zp_ref, klq_ref, klp_ref, klreg_ref, *, n_rows, n_cols):
-    """Single-block fused posterior tail (runs on the VPU)."""
+            zq_ref, zp_ref, klq_ref, klp_ref, klreg_ref, *,
+            n_rows, n_cols, block_rows):
+    """One [block_rows, Lp] tile of the fused posterior tail (VPU). The grid
+    walks row-blocks sequentially; the three KL scalars accumulate in SMEM."""
+    i = pl.program_id(0)
     mq, lq = mq_ref[:], lq_ref[:]
     mp, lp = mp_ref[:], lp_ref[:]
     shape = mq.shape
-    row_ok = jax.lax.broadcasted_iota(jnp.int32, shape, 0) < n_rows
+    # mask out row padding (global row index) and lane padding
+    row0 = i * block_rows
+    row_ok = row0 + jax.lax.broadcasted_iota(jnp.int32, shape, 0) < n_rows
     col_ok = jax.lax.broadcasted_iota(jnp.int32, shape, 1) < n_cols
     valid = jnp.logical_and(row_ok, col_ok).astype(jnp.float32)
 
@@ -64,9 +76,15 @@ def _kernel(mq_ref, lq_ref, mp_ref, lp_ref, eq_ref, ep_ref,
     dm = mq - mp
     kl_reg = 0.5 * (lp - lq + (jnp.exp(lq) + dm * dm) * jnp.exp(-lp) - 1.0)
 
-    klq_ref[0, 0] = jnp.sum(kl_q * valid)
-    klp_ref[0, 0] = jnp.sum(kl_p * valid)
-    klreg_ref[0, 0] = jnp.sum(kl_reg * valid)
+    @pl.when(i == 0)
+    def _init():
+        klq_ref[0, 0] = 0.0
+        klp_ref[0, 0] = 0.0
+        klreg_ref[0, 0] = 0.0
+
+    klq_ref[0, 0] += jnp.sum(kl_q * valid)
+    klp_ref[0, 0] += jnp.sum(kl_p * valid)
+    klreg_ref[0, 0] += jnp.sum(kl_reg * valid)
 
 
 def _pad(x, rows, cols):
@@ -74,14 +92,18 @@ def _pad(x, rows, cols):
 
 
 def _fused_forward_impl(mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p,
-                        interpret):
+                        interpret, block_rows=_BLOCK_ROWS):
     B, L = mean_q.shape
-    Bp, Lp = _round_up(B, _SUBLANE), _round_up(L, _LANE)
+    Lp = _round_up(L, _LANE)
+    block_rows = min(block_rows, _round_up(B, _SUBLANE))
+    Bp = _round_up(B, block_rows)
+    n_blocks = Bp // block_rows
     args = [
         _pad(a, Bp, Lp)
         for a in (mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p)
     ]
-    kern = functools.partial(_kernel, n_rows=B, n_cols=L)
+    kern = functools.partial(_kernel, n_rows=B, n_cols=L,
+                             block_rows=block_rows)
     out_shapes = (
         jax.ShapeDtypeStruct((Bp, Lp), jnp.float32),  # z_q
         jax.ShapeDtypeStruct((Bp, Lp), jnp.float32),  # z_p
@@ -89,13 +111,15 @@ def _fused_forward_impl(mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p,
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # kl_p
         jax.ShapeDtypeStruct((1, 1), jnp.float32),  # kl_reg
     )
-    vmem = pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile = pl.BlockSpec((block_rows, Lp), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     z_q, z_p, klq, klp, klreg = pl.pallas_call(
         kern,
+        grid=(n_blocks,),
         out_shape=out_shapes,
-        in_specs=[vmem] * 6,
-        out_specs=(vmem, vmem, smem, smem, smem),
+        in_specs=[tile] * 6,
+        out_specs=(tile, tile, smem, smem, smem),
         interpret=interpret,
     )(*args)
     return (z_q[:B, :L], z_p[:B, :L], klq[0, 0], klp[0, 0], klreg[0, 0])

@@ -48,7 +48,7 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp", None))
 
 
-def param_sharding_rule(path_str: str, leaf, mesh: Mesh) -> NamedSharding:
+def param_sharding_rule(leaf, mesh: Mesh) -> NamedSharding:
     """Tensor-parallel layout for one parameter leaf.
 
     Weight matrices [fan_in, fan_out]: shard whichever dim is wide enough over
@@ -68,18 +68,15 @@ def param_sharding_rule(path_str: str, leaf, mesh: Mesh) -> NamedSharding:
 def shard_params(params, mesh: Mesh):
     """Apply `param_sharding_rule` across the params pytree."""
 
-    def place(path, leaf):
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        return jax.device_put(leaf, param_sharding_rule(key, leaf, mesh))
-
-    return jax.tree_util.tree_map_with_path(place, params)
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, param_sharding_rule(leaf, mesh)),
+        params,
+    )
 
 
 def params_shardings(params, mesh: Mesh):
     """The matching pytree of NamedShardings (for jit in_shardings)."""
 
-    def spec(path, leaf):
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        return param_sharding_rule(key, leaf, mesh)
-
-    return jax.tree_util.tree_map_with_path(spec, params)
+    return jax.tree_util.tree_map(
+        lambda leaf: param_sharding_rule(leaf, mesh), params
+    )

@@ -29,7 +29,8 @@ from vae_posterior_consistency_tpu.parallel import mesh as meshlib
 
 
 def make_parallel_train_step(cfg: RunConfig, mesh, model=None, params=None):
-    """Build (sharded_step, shard_inputs) for one optimizer step over `mesh`.
+    """Build (sharded_step, shard_inputs, tx) for one optimizer step over
+    `mesh`.
 
     sharded_step(params, opt_state, x, mask, key, epoch)
       -> (params, opt_state, loss)
@@ -44,7 +45,9 @@ def make_parallel_train_step(cfg: RunConfig, mesh, model=None, params=None):
 
     opt_shard = None
     if params is not None:
-        opt_state = tx.init(params)
+        # shapes only — avoid materializing a second full Adam state just to
+        # derive its shardings
+        opt_state = jax.eval_shape(tx.init, params)
         opt_shard = jax.tree_util.tree_map(
             lambda leaf: _match_opt_sharding(leaf, params, p_shard, mesh),
             opt_state,
