@@ -16,16 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# the reference runs with torch.autograd.set_detect_anomaly(True) always on
-# (src/experiment_main/imputation.py:19 and siblings) at heavy runtime cost;
-# the TPU equivalent (jax_debug_nans re-runs the faulting op un-jitted) is
-# opt-in here to keep the compiled hot loop intact: VPC_DEBUG_NANS=1
-if os.environ.get("VPC_DEBUG_NANS"):
-    from vae_posterior_consistency_tpu.utils.debugging import (
-        enable_nan_debugging,
-    )
+# opt-in NaN tripwire (the reference's always-on detect_anomaly equivalent —
+# PARITY.md documented deviation #7): VPC_DEBUG_NANS=1
+from vae_posterior_consistency_tpu.utils.debugging import (
+    enable_nan_debugging_from_env,
+)
 
-    enable_nan_debugging()
+enable_nan_debugging_from_env()
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
@@ -45,22 +42,13 @@ def main():
     args = setup_parser(record, "ais_eval").parse_args()
     cfg = RunConfig.from_args(args)
     apply_rng_impl(cfg)
-    if "MIWAE" in cfg.vae_type or "flow" in cfg.vae_type:
-        raise SystemExit(
-            "AIS needs a Gaussian-decoder family (vae/EDDI); got "
-            f"{cfg.vae_type!r}"
-        )
     dataset = loaders.data_loader(
         cfg.data_path, cfg.vae_type, cfg.missing_rate, cfg.batch_size,
         cfg.data_type,
     )
-    schedule = (
-        ais.linear_schedule(cfg.n_ais_dist)
-        if cfg.ais_schedule == "linear"
-        else ais.sigmoidial_schedule(cfg.n_ais_dist)
-    )
-    results = ais.eval_ais(dataset, cfg, schedule=schedule,
-                           n_sample=cfg.n_ais_iwae)
+    # eval_ais builds the cfg.ais_schedule bridge itself and rejects
+    # non-Gaussian-decoder families with a family-aware message
+    results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae)
     for stage, res in results.items():
         print(f"  [{stage}] AIS log p(x) = {res.logw:.4f}")
 

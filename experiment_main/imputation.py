@@ -18,16 +18,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# the reference runs with torch.autograd.set_detect_anomaly(True) always on
-# (src/experiment_main/imputation.py:19 and siblings) at heavy runtime cost;
-# the TPU equivalent (jax_debug_nans re-runs the faulting op un-jitted) is
-# opt-in here to keep the compiled hot loop intact: VPC_DEBUG_NANS=1
-if os.environ.get("VPC_DEBUG_NANS"):
-    from vae_posterior_consistency_tpu.utils.debugging import (
-        enable_nan_debugging,
-    )
+# opt-in NaN tripwire (the reference's always-on detect_anomaly equivalent —
+# PARITY.md documented deviation #7): VPC_DEBUG_NANS=1
+from vae_posterior_consistency_tpu.utils.debugging import (
+    enable_nan_debugging_from_env,
+)
 
-    enable_nan_debugging()
+enable_nan_debugging_from_env()
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,

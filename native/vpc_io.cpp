@@ -61,8 +61,13 @@ int vpc_csv_count(const char* path, int64_t* rows, int64_t* cols) {
 }
 
 // Parse a numeric CSV into a pre-allocated float32 buffer (row-major).
-// Returns the number of values written, or -1 on IO error.
-int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity) {
+// Every data row must have exactly `cols` values (the width vpc_csv_count
+// reported from the first row) — a ragged row would silently column-shift
+// everything after it, so it is a hard error.
+// Returns the number of values written, -1 on IO error, or -(2+row) when
+// data row `row` (0-based) is ragged.
+int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity,
+                      int64_t cols) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   // read whole file
@@ -78,13 +83,25 @@ int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity) {
   std::fclose(f);
   buf[got] = '\0';
 
-  int64_t n = 0;
+  int64_t n = 0, row = 0, row_vals = 0;
   char* p = buf;
   while (*p && n < capacity) {
-    // skip separators
-    while (*p == ',' || *p == '\n' || *p == '\r' || *p == ' ' || *p == '\t')
+    if (*p == '\n') {
+      if (row_vals > 0) {
+        if (cols > 0 && row_vals != cols) {
+          std::free(buf);
+          return -(2 + row);
+        }
+        ++row;
+        row_vals = 0;
+      }
       ++p;
-    if (!*p) break;
+      continue;
+    }
+    if (*p == ',' || *p == '\r' || *p == ' ' || *p == '\t') {
+      ++p;
+      continue;
+    }
     char* end = nullptr;
     float v = std::strtof(p, &end);
     if (end == p) {  // non-numeric token: skip it
@@ -92,7 +109,12 @@ int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity) {
       continue;
     }
     out[n++] = v;
+    ++row_vals;
     p = end;
+  }
+  if (row_vals > 0 && cols > 0 && row_vals != cols) {
+    std::free(buf);
+    return -(2 + row);
   }
   std::free(buf);
   return n;

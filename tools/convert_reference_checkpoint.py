@@ -271,7 +271,7 @@ def main():
                     latent_dim=args.latent_dim, K=args.K,
                     hid_dim=args.hid_dim,
                     not_miwae_type=args.not_miwae_type)
-    sd = torch.load(args.checkpoint, map_location="cpu")
+    sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     params = convert_state_dict(sd, cfg, args.obs_dim)

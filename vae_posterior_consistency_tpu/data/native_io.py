@@ -36,14 +36,21 @@ def _load():
         if _lib is not None or _build_failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or (
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            # Always rebuild from source when it is newer or the .so is
+            # absent. Portable codegen (no -march=native): the .so may travel
+            # between hosts via caches, and a foreign ISA-tuned binary would
+            # SIGILL inside data loading with no way to fall back.
+            src_ok = os.path.exists(_SRC)
+            if src_ok and (
+                not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
             ):
                 subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", _SO, _SRC],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC],
                     check=True, capture_output=True,
                 )
+            if not os.path.exists(_SO):
+                raise FileNotFoundError(_SO)
             lib = ctypes.CDLL(_SO)
             lib.vpc_csv_count.argtypes = [
                 ctypes.c_char_p,
@@ -54,6 +61,7 @@ def _load():
             lib.vpc_csv_parse.argtypes = [
                 ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
                 ctypes.c_int64,
             ]
             lib.vpc_csv_parse.restype = ctypes.c_int64
@@ -105,8 +113,14 @@ def read_csv(path: str) -> np.ndarray:
     n = rows.value * cols.value
     out = np.empty(n, np.float32)
     got = lib.vpc_csv_parse(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        cols.value,
     )
+    if got <= -2:
+        raise ValueError(
+            f"{path}: ragged CSV — data row {-got - 2} does not have "
+            f"{cols.value} values"
+        )
     if got != n:
         raise ValueError(f"{path}: parsed {got} values, expected {n}")
     return out.reshape(rows.value, cols.value)

@@ -37,3 +37,13 @@ def checked(fn):
         return out
 
     return wrapper
+
+
+def enable_nan_debugging_from_env(var: str = "VPC_DEBUG_NANS") -> None:
+    """Enable jax_debug_nans when the env var is set — the opt-in equivalent
+    of the reference's unconditional torch detect_anomaly (PARITY.md
+    documented deviation #7). Called by every experiment_main entry point."""
+    import os
+
+    if os.environ.get(var):
+        enable_nan_debugging()
