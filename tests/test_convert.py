@@ -263,3 +263,52 @@ def test_unconsumed_keys_raise():
     cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=LAT)
     with pytest.raises(ValueError, match="not consumed"):
         convert_state_dict(sd, cfg, OBS)
+
+
+def test_reverse_export_roundtrip_dense():
+    """ours -> reference state_dict loads strict=True into the reference
+    naming and roundtrips values exactly."""
+    from tools.convert_reference_checkpoint import export_state_dict
+
+    ref = _RefDense()
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=LAT)
+    params = convert_state_dict(ref.state_dict(), cfg, OBS)
+    sd = export_state_dict(params, cfg, OBS)
+    ref2 = _RefDense()
+    ref2.load_state_dict(sd, strict=True)
+    for k, v in ref.state_dict().items():
+        np.testing.assert_allclose(sd[k].numpy(), v.numpy(), atol=1e-6)
+
+
+def test_reverse_export_roundtrip_notmiwae_reg():
+    from tools.convert_reference_checkpoint import export_state_dict
+
+    ref = _RefNotMIWAE()
+    ref.logits = nn.Sequential(nn.Linear(OBS, OBS))
+    cfg = RunConfig(vae_type="reg_notMIWAE1", latent_dim=LAT)
+    params = convert_state_dict(ref.state_dict(), cfg, OBS)
+    sd = export_state_dict(params, cfg, OBS)
+    for k, v in ref.state_dict().items():
+        np.testing.assert_allclose(sd[k].to(v.dtype).numpy(), v.numpy(),
+                                   atol=1e-6, err_msg=k)
+
+
+def test_reverse_export_flow_strict_load():
+    """The flow export must include every registered reference param so
+    strict load succeeds (dead heads at neutral defaults)."""
+    from tools.convert_reference_checkpoint import export_state_dict
+
+    ref = _RefFlow()
+    ref.prior_mean = nn.Parameter(torch.zeros(LAT), requires_grad=False)
+    ref.prior_std = nn.Parameter(torch.ones(LAT), requires_grad=False)
+    cfg = RunConfig(vae_type="vanilla_flow1", latent_dim=LAT,
+                    hid_dim=_RefFlow.HID)
+    params = convert_state_dict(ref.state_dict(), cfg, OBS)
+    sd = export_state_dict(params, cfg, OBS)
+    ref2 = _RefFlow()
+    ref2.prior_mean = nn.Parameter(torch.zeros(LAT), requires_grad=False)
+    ref2.prior_std = nn.Parameter(torch.ones(LAT), requires_grad=False)
+    ref2.load_state_dict(sd, strict=True)
+    np.testing.assert_allclose(
+        sd["seq_encoder.0.weight"].numpy(),
+        ref.state_dict()["seq_encoder.0.weight"].numpy(), atol=1e-6)

@@ -229,10 +229,97 @@ def convert_state_dict(sd, cfg, obs_dim: int):
     return params
 
 
+def _rev_linear(sd, prefix, leaf):
+    import torch
+
+    sd[f"{prefix}.weight"] = torch.from_numpy(
+        np.asarray(leaf["w"], np.float32).T.copy())
+    sd[f"{prefix}.bias"] = torch.from_numpy(
+        np.asarray(leaf["b"], np.float32).copy())
+
+
+def _rev_seq_mlp(sd, prefix, tree):
+    # reference Sequentials interleave one activation per Linear, so Linear j
+    # sits at Sequential index 2j in every class (VAE.py:366-376, 687-698,
+    # 2342-2368, 3026-3041, 1882-1916)
+    for j in range(len(tree)):
+        _rev_linear(sd, f"{prefix}.{2 * j}", tree[f"layer{j}"])
+
+
+def export_state_dict(params, cfg, obs_dim: int):
+    """Framework param pytree -> reference-named torch state_dict (the inverse
+    of convert_state_dict), loadable by the reference's own classes with
+    strict=True. Dead-but-registered reference params (flow's encoder_mean /
+    encoder_logvar / flows.*.unnormalized_pdf / prior buffers) are emitted at
+    neutral defaults so strict loading succeeds."""
+    import jax
+    import torch
+
+    from vae_posterior_consistency_tpu.models import get_model
+
+    model = get_model(cfg)
+    params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    sd = {}
+    if model.name == "gauss":
+        enc = params["encoder"]
+        if "pnp1" in enc:
+            _rev_seq_mlp(sd, "pnp_encoder1", enc["pnp1"])
+            _rev_seq_mlp(sd, "pnp_encoder2", enc["pnp2"])
+            sd["type_pars1"] = torch.from_numpy(enc["type_pars"].copy())
+            sd["type_bias1"] = torch.from_numpy(enc["type_bias"].copy())
+        else:
+            _rev_seq_mlp(sd, "seq_encoder", enc)
+        _rev_seq_mlp(sd, "seq_decoder", params["decoder"])
+    elif model.name == "miwae":
+        _rev_seq_mlp(sd, "seq_encoder", params["encoder"])
+        _rev_seq_mlp(sd, "seq_decoder", params["decoder"])
+    elif model.name == "notmiwae":
+        _rev_seq_mlp(sd, "seq_encoder", params["encoder"]["trunk"])
+        _rev_seq_mlp(sd, "q_mu", params["encoder"]["q_mu"])
+        _rev_seq_mlp(sd, "q_logstd", params["encoder"]["q_logstd"])
+        _rev_seq_mlp(sd, "seq_decoder", params["decoder"]["trunk"])
+        _rev_seq_mlp(sd, "x_mean", params["decoder"]["x_mean"])
+        # author variant names its observation head x_std (VAE.py:2889)
+        head = "x_std" if getattr(cfg, "not_miwae_type",
+                                  "changed") == "author" else "x_logvar"
+        _rev_seq_mlp(sd, head, params["decoder"]["x_logvar"])
+        sd["W"] = torch.from_numpy(params["W"].copy())
+        sd["b"] = torch.from_numpy(params["b"].copy())
+        if cfg.info.regularized:
+            # REG classes register logits regardless of missing_process
+            # (VAE.py:2176, 2371, 2552), as float64 (.double())
+            _rev_linear(sd, "logits.0", params["logits_lin"])
+            sd["logits.0.weight"] = sd["logits.0.weight"].double()
+            sd["logits.0.bias"] = sd["logits.0.bias"].double()
+    elif model.name == "flow":
+        _rev_seq_mlp(sd, "seq_encoder", params["encoder"])
+        _rev_seq_mlp(sd, "seq_decoder", params["decoder"]["trunk"])
+        _rev_seq_mlp(sd, "decoder_mean", params["decoder"]["mean"])
+        _rev_seq_mlp(sd, "decoder_logvar", params["decoder"]["logvar"])
+        # dead-but-registered params (VAE.py:1892-1893, 1822-1825, 1919-1920)
+        L, H = cfg.latent_dim, cfg.hid_dim
+        sd["encoder_mean.weight"] = torch.zeros(L, H)
+        sd["encoder_mean.bias"] = torch.zeros(L)
+        sd["encoder_logvar.weight"] = torch.zeros(L, H)
+        sd["encoder_logvar.bias"] = torch.zeros(L)
+        for i in range(3):
+            sd[f"flows.{i}.unnormalized_pdf"] = torch.zeros(L, 10)
+        sd["prior_mean"] = torch.zeros(L)
+        sd["prior_std"] = torch.ones(L)
+    else:  # pragma: no cover
+        raise NotImplementedError(model.name)
+    del obs_dim
+    return sd
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
-                    help="reference torch state_dict (.pt)")
+                    help="reference torch state_dict (.pt); with --reverse, "
+                         "a framework checkpoint instead")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export a framework checkpoint back to a reference "
+                         "torch state_dict")
     ap.add_argument("--vae_type", required=True)
     ap.add_argument("--data_type", default="wine")
     ap.add_argument("--alpha", type=float, default=1.0)
@@ -271,6 +358,21 @@ def main():
                     latent_dim=args.latent_dim, K=args.K,
                     hid_dim=args.hid_dim,
                     not_miwae_type=args.not_miwae_type)
+    if args.reverse:
+        from vae_posterior_consistency_tpu.models import get_model
+
+        model = get_model(cfg)
+        template = model.init(jax.random.PRNGKey(0), cfg, args.obs_dim)
+        params = ckpt.load(template, args.checkpoint)
+        sd = export_state_dict(params, cfg, args.obs_dim)
+        out = args.out or (args.checkpoint + ".reference.pt")
+        parent = os.path.dirname(out)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        torch.save(sd, out)
+        print(f"exported framework checkpoint -> {out} "
+              f"({len(sd)} reference-named torch tensors)")
+        return
     sd = torch.load(args.checkpoint, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
