@@ -146,3 +146,64 @@ def test_multiscale_apply_logdet_and_shapes():
     # actnorm logdet per element is log_scale; dims seen: 8 + 4 + 2
     np.testing.assert_allclose(np.asarray(log_det),
                                0.3 * (8 + 4 + 2), rtol=1e-5)
+
+
+def test_apply_rng_impl_switches_default():
+    from vae_posterior_consistency_tpu.config import RunConfig, apply_rng_impl
+
+    try:
+        apply_rng_impl(RunConfig(vae_type="vanilla_vae1", rng_impl="rbg"))
+        k = jax.random.PRNGKey(0)
+        assert k.shape == (4,)  # rbg keys are 4x uint32
+    finally:
+        apply_rng_impl(
+            RunConfig(vae_type="vanilla_vae1", rng_impl="threefry2x32"))
+    assert jax.random.PRNGKey(0).shape == (2,)
+
+
+def test_enable_nan_debugging_from_env(monkeypatch):
+    from vae_posterior_consistency_tpu.utils import debugging
+
+    monkeypatch.setenv("VPC_DEBUG_NANS", "1")
+    try:
+        debugging.enable_nan_debugging_from_env()
+        assert jax.config.jax_debug_nans
+    finally:
+        debugging.enable_nan_debugging(False)
+    assert not jax.config.jax_debug_nans
+
+
+def test_multihost_env_parsing(monkeypatch):
+    from vae_posterior_consistency_tpu.parallel import multihost
+
+    calls = {}
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda coordinator_address, num_processes, process_id: calls.update(
+            addr=coordinator_address, n=num_processes, pid=process_id))
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    multihost.initialize()
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
+
+
+def test_profile_trace_and_timed(tmp_path, capsys):
+    from vae_posterior_consistency_tpu.utils.logging import (
+        profile_trace,
+        timed,
+    )
+
+    with timed("probe"):
+        jnp.ones((4,)).block_until_ready()
+    assert "probe" in capsys.readouterr().out
+    with profile_trace(str(tmp_path / "trace")):
+        jnp.ones((4,)).block_until_ready()
+    assert (tmp_path / "trace").exists()
+
+
+def test_str2bool():
+    from vae_posterior_consistency_tpu.config import str2bool
+
+    assert str2bool("true") and str2bool("1") and str2bool(True)
+    assert not str2bool("false") and not str2bool("0")
