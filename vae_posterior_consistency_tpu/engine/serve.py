@@ -95,8 +95,15 @@ class ImputationServer:
 
 def serve_http(server: ImputationServer, host: str = "127.0.0.1",
                port: int = 8787):
-    """Minimal blocking HTTP endpoint: POST /impute {"x": ..., "mask": ...}."""
-    from http.server import BaseHTTPRequestHandler, HTTPServer
+    """Minimal HTTP endpoint: POST /impute {"x": ..., "mask": ...}.
+
+    Threaded accept loop; device work is serialized through a lock (one
+    compiled program in flight keeps per-request latency at a single device
+    round-trip)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    impute_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def do_POST(self):
@@ -106,7 +113,9 @@ def serve_http(server: ImputationServer, host: str = "127.0.0.1",
             length = int(self.headers.get("Content-Length", 0))
             try:
                 payload = json.loads(self.rfile.read(length))
-                filled, negll = server.impute(payload["x"], payload["mask"])
+                with impute_lock:
+                    filled, negll = server.impute(payload["x"],
+                                                  payload["mask"])
                 body = json.dumps(
                     {"imputed": filled.tolist(), "row_score": negll.tolist()}
                 ).encode()
@@ -120,6 +129,6 @@ def serve_http(server: ImputationServer, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    httpd = HTTPServer((host, port), Handler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
     print(f"imputation server on http://{host}:{port}/impute")
     httpd.serve_forever()
