@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import optax
 import jax.numpy as jnp
 
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -113,3 +114,112 @@ def dryrun_train_step(cfg: RunConfig, mesh, obs_dim: int = 8,
     )
     jax.block_until_ready(loss)
     return float(loss)
+
+
+def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
+                  model=None):
+    """Full multi-chip training loop: the single-device engine's semantics
+    (per-epoch permutation, on-device mask_p/drop generation, reference
+    1-based epoch indexing, Adam fused in-program — engine/train.py) with
+    batch rows dp-sharded and wide parameters tp-sharded over `mesh`.
+
+    The table itself stays replicated (tabular datasets are tiny relative to
+    HBM); every step's batch is sharding-constrained onto `dp`, so XLA emits
+    the gradient psum over ICI. Returns (params, loss_history [epochs]).
+    """
+    import math as _math
+
+    from vae_posterior_consistency_tpu.ops import masks as masks_ops
+
+    model = model or get_model(cfg)
+    data, mask = dataset.train.x, dataset.train.mask
+    n = data.shape[0]
+    dp = mesh.shape["dp"]
+    # batch must divide over dp
+    bsz = max(min(cfg.batch_size, n) // dp * dp, dp)
+    steps = _math.ceil(n / bsz)
+    pad = steps * bsz - n
+    info = cfg.info
+
+    key0 = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key0, cfg, dataset.obs_dim)
+    p_shard = meshlib.params_shardings(params, mesh)
+    b_spec = P("dp", None)
+    repl = NamedSharding(mesh, P())
+    tx = make_train_step(cfg, model)[1]
+    opt_state = tx.init(params)
+    opt_shard = jax.tree_util.tree_map(
+        lambda leaf: _match_opt_sharding(leaf, params, p_shard, mesh),
+        jax.eval_shape(lambda: opt_state),
+        is_leaf=lambda l: hasattr(l, "shape"),
+    )
+    params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, opt_shard)
+
+    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1),
+             in_shardings=(p_shard, opt_shard, repl),
+             out_shardings=(p_shard, opt_shard, repl))
+    def run_chunk(params, opt_state, epoch0, n_epochs):
+        def epoch_body(carry, off):
+            params, opt_state = carry
+            epoch = epoch0 + off
+            ekey = jax.random.fold_in(key0, epoch + 1)
+            kperm, kstep = jax.random.split(ekey)
+            perm = jax.random.permutation(kperm, n)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            x_e = jnp.take(data, perm, axis=0)
+            m_e = jnp.take(mask, perm, axis=0)
+
+            def step_body(carry2, s):
+                params, opt_state = carry2
+                x_b = jax.lax.dynamic_slice(
+                    x_e, (s * bsz, 0), (bsz, x_e.shape[1]))
+                m_b = jax.lax.dynamic_slice(
+                    m_e, (s * bsz, 0), (bsz, m_e.shape[1]))
+                x_b = jax.lax.with_sharding_constraint(
+                    x_b, NamedSharding(mesh, b_spec))
+                m_b = jax.lax.with_sharding_constraint(
+                    m_b, NamedSharding(mesh, b_spec))
+                skey = jax.random.fold_in(kstep, s)
+                k_mask, k_model = jax.random.split(skey)
+                if info.regularized:
+                    mask_p = masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
+                    eff_mask = m_b
+                elif info.with_drop:
+                    mask_p = jnp.ones_like(m_b)
+                    eff_mask = m_b * masks_ops.eddi_drop_mask(k_mask,
+                                                              m_b.shape)
+                else:
+                    mask_p = jnp.ones_like(m_b)
+                    eff_mask = m_b
+
+                def loss_fn(p):
+                    return model.train_loss(
+                        p, x_b, eff_mask, mask_p, k_model,
+                        (epoch + 1).astype(jnp.float32), cfg)[0]
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step_body, (params, opt_state), jnp.arange(steps))
+            return (params, opt_state), jnp.sum(losses)
+
+        (params, opt_state), hist = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs))
+        return params, opt_state, hist
+
+    import numpy as np
+
+    history = []
+    done = 0
+    while done < cfg.epoch:
+        n_e = min(chunk_epochs, cfg.epoch - done)
+        params, opt_state, hist = run_chunk(params, opt_state,
+                                            jnp.asarray(done), n_e)
+        history.append(jax.device_get(hist))
+        done += n_e
+    return params, np.concatenate(history, axis=0)
