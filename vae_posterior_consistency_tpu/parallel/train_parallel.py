@@ -126,6 +126,12 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     The table itself stays replicated (tabular datasets are tiny relative to
     HBM); every step's batch is sharding-constrained onto `dp`, so XLA emits
     the gradient psum over ICI. Returns (params, loss_history [epochs]).
+
+    Deliberately specialized (not unified with engine/train._build_epoch_runner
+    or parallel/sweep's ensembles): the single-chip runner flattens params for
+    the fused Adam kernel, the ensembles add a vmapped leading axis, and this
+    loop threads shardings — one abstraction over all three would obscure each
+    one's layout contract.
     """
     import math as _math
 
