@@ -18,7 +18,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import optax
 import jax.numpy as jnp
 
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -133,9 +132,9 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     loop threads shardings — one abstraction over all three would obscure each
     one's layout contract.
     """
-    import math as _math
+    import math
 
-    from vae_posterior_consistency_tpu.ops import masks as masks_ops
+    import numpy as np
 
     model = model or get_model(cfg)
     data, mask = dataset.train.x, dataset.train.mask
@@ -143,20 +142,21 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     dp = mesh.shape["dp"]
     # batch must divide over dp
     bsz = max(min(cfg.batch_size, n) // dp * dp, dp)
-    steps = _math.ceil(n / bsz)
+    steps = math.ceil(n / bsz)
     pad = steps * bsz - n
-    info = cfg.info
 
     key0 = jax.random.PRNGKey(cfg.seed)
     params = model.init(key0, cfg, dataset.obs_dim)
     p_shard = meshlib.params_shardings(params, mesh)
     b_spec = P("dp", None)
     repl = NamedSharding(mesh, P())
-    tx = make_train_step(cfg, model)[1]
+    # the per-step semantics (mask dispatch, grad, fused Adam) come verbatim
+    # from the single-device step builder
+    step_fn, tx = make_train_step(cfg, model)
     opt_state = tx.init(params)
     opt_shard = jax.tree_util.tree_map(
         lambda leaf: _match_opt_sharding(leaf, params, p_shard, mesh),
-        jax.eval_shape(lambda: opt_state),
+        opt_state,
         is_leaf=lambda l: hasattr(l, "shape"),
     )
     params = jax.device_put(params, p_shard)
@@ -188,26 +188,9 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
                 m_b = jax.lax.with_sharding_constraint(
                     m_b, NamedSharding(mesh, b_spec))
                 skey = jax.random.fold_in(kstep, s)
-                k_mask, k_model = jax.random.split(skey)
-                if info.regularized:
-                    mask_p = masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
-                    eff_mask = m_b
-                elif info.with_drop:
-                    mask_p = jnp.ones_like(m_b)
-                    eff_mask = m_b * masks_ops.eddi_drop_mask(k_mask,
-                                                              m_b.shape)
-                else:
-                    mask_p = jnp.ones_like(m_b)
-                    eff_mask = m_b
-
-                def loss_fn(p):
-                    return model.train_loss(
-                        p, x_b, eff_mask, mask_p, k_model,
-                        (epoch + 1).astype(jnp.float32), cfg)[0]
-
-                loss, grads = jax.value_and_grad(loss_fn)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                params, opt_state, loss = step_fn(
+                    params, opt_state, x_b, m_b, skey,
+                    (epoch + 1).astype(jnp.float32))
                 return (params, opt_state), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -217,8 +200,6 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
         (params, opt_state), hist = jax.lax.scan(
             epoch_body, (params, opt_state), jnp.arange(n_epochs))
         return params, opt_state, hist
-
-    import numpy as np
 
     history = []
     done = 0
