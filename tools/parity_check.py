@@ -25,6 +25,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
+if REPO not in sys.path:  # runnable without PYTHONPATH=.
+    sys.path.insert(0, REPO)
+
 
 def _stub_missing_modules():
     """The reference imports torchvision/matplotlib at module scope without
