@@ -65,8 +65,24 @@ def main():
 
     # min-max normalize on observed cells only
     filled0 = np.where(mask > 0, raw, 0.0)
-    lo = np.nanmin(raw, axis=0)
-    hi = np.nanmax(raw, axis=0)
+    with np.errstate(all="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns
+            lo = np.nanmin(raw, axis=0)
+            hi = np.nanmax(raw, axis=0)
+    # a column with NO observed values has NaN lo/hi, and NaN * mask is NaN
+    # even where mask == 0 — which would poison every training input. There
+    # is nothing to learn for such a column; normalize it as identity and
+    # tell the user its imputations are the model prior only.
+    empty_cols = ~np.isfinite(lo)
+    if empty_cols.any():
+        print(f"warning: columns {np.flatnonzero(empty_cols).tolist()} have "
+              f"no observed values; their imputations are unconditioned",
+              file=sys.stderr)
+        lo = np.where(empty_cols, 0.0, lo)
+        hi = np.where(empty_cols, 1.0, hi)
     span = np.where(hi > lo, hi - lo, 1.0)
     x = (filled0 - lo) / span * mask  # missing cells zero
 

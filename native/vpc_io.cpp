@@ -21,6 +21,12 @@
 
 extern "C" {
 
+// ABI version — bump whenever any exported signature changes. The Python
+// loader refuses a binary whose version doesn't match (a stale pre-change
+// .so would otherwise be called with the wrong argument list and silently
+// misbehave, e.g. dropping the ragged-CSV check).
+int64_t vpc_io_abi_version(void) { return 2; }
+
 // ---------------------------------------------------------------------------
 // CSV ingestion
 // ---------------------------------------------------------------------------

@@ -105,6 +105,26 @@ def test_alpha_ensemble_sweep(tiny_dataset):
     assert all(leaf.shape[0] == 2 for leaf in leaves)
 
 
+def test_train_sharded_tiny_dataset():
+    """n < dp: the padded epoch needs more rows than one permutation holds;
+    the tiled pad must keep the loop traceable and finite (ADVICE r1)."""
+    from vae_posterior_consistency_tpu.parallel.train_parallel import (
+        train_sharded,
+    )
+
+    n, obs_dim = 3, 5  # 3 rows on a dp=4 mesh
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (n, obs_dim))
+    m = jnp.ones((n, obs_dim), jnp.float32)
+    ds = Dataset(train=Split(x, m, "train"), test=None, obs_dim=obs_dim)
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=2,
+                    batch_size=64, latent_dim=2)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    params, hist = train_sharded(ds, cfg, mesh, chunk_epochs=2)
+    assert hist.shape == (2,)
+    assert np.all(np.isfinite(hist))
+
+
 def test_train_sharded_full_loop(tiny_dataset):
     """The full multi-chip training loop runs on the virtual mesh and learns
     (loss decreases); batches shard over dp."""

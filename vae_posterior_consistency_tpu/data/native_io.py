@@ -29,6 +29,11 @@ _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
+#: must match native/vpc_io.cpp:vpc_io_abi_version — the loader refuses a
+#: stale .so (e.g. built before a signature change, with the source since
+#: removed) rather than calling it with the wrong argument list.
+_ABI_VERSION = 2
+
 
 def _load():
     global _lib, _build_failed
@@ -52,6 +57,15 @@ def _load():
             if not os.path.exists(_SO):
                 raise FileNotFoundError(_SO)
             lib = ctypes.CDLL(_SO)
+            try:
+                lib.vpc_io_abi_version.restype = ctypes.c_int64
+                abi = int(lib.vpc_io_abi_version())
+            except AttributeError:
+                abi = -1
+            if abi != _ABI_VERSION:
+                raise RuntimeError(
+                    f"stale {_SO}: abi {abi} != expected {_ABI_VERSION}"
+                )
             lib.vpc_csv_count.argtypes = [
                 ctypes.c_char_p,
                 ctypes.POINTER(ctypes.c_int64),
@@ -169,21 +183,26 @@ def unpack_mask(packed: np.ndarray, shape) -> np.ndarray:
 
 
 def _xorshift128p_uniforms(n: int, seed: int) -> np.ndarray:
-    """The exact xorshift128+ stream of native/vpc_io.cpp:vpc_mcar_mask, in
-    vectorizable numpy — the fallback must produce bit-identical masks for a
-    given seed whether or not the native library built."""
-    u64 = np.uint64
-    s0 = u64(seed ^ 0x9E3779B97F4A7C15)
-    s1 = u64(((seed << 1) | 1) & 0xFFFFFFFFFFFFFFFF)
+    """The exact xorshift128+ stream of native/vpc_io.cpp:vpc_mcar_mask.
+
+    The recurrence is inherently sequential (each state depends on the last),
+    so this no-g++ fallback is a host loop — pure-Python ints, which run ~6x
+    faster than per-element numpy uint64 scalars. It is intended for offline
+    artifact generation only (the largest artifact, the MNIST-scale mask at
+    ~1.3M cells, takes ~1 s); per-batch training masks never come through
+    here (they are jax.random on device, ops/masks.py). Bit-identical to the
+    native path for a given seed, which is the property that matters."""
+    M = 0xFFFFFFFFFFFFFFFF
+    s0 = (seed ^ 0x9E3779B97F4A7C15) & M
+    s1 = ((seed << 1) | 1) & M
     out = np.empty(n, np.float64)
-    with np.errstate(over="ignore"):
-        for i in range(n):
-            x, y = s0, s1
-            s0 = y
-            x ^= u64((int(x) << 23) & 0xFFFFFFFFFFFFFFFF)
-            s1 = x ^ y ^ (x >> u64(17)) ^ (y >> u64(26))
-            r = u64((int(s1) + int(y)) & 0xFFFFFFFFFFFFFFFF)
-            out[i] = int(r >> u64(11)) * (1.0 / 9007199254740992.0)
+    scale = 1.0 / 9007199254740992.0
+    for i in range(n):
+        x, y = s0, s1
+        s0 = y
+        x ^= (x << 23) & M
+        s1 = x ^ y ^ (x >> 17) ^ (y >> 26)
+        out[i] = (((s1 + y) & M) >> 11) * scale
     return out
 
 

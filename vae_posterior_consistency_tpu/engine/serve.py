@@ -14,6 +14,7 @@ packages a trained checkpoint as a low-latency imputation service:
 
 from __future__ import annotations
 
+import itertools
 import json
 
 import jax
@@ -36,7 +37,10 @@ class ImputationServer:
         self.mesh = mesh
         self.params = params
         self._base_key = jax.random.PRNGKey(cfg.seed + 9)
-        self._ctr = 0  # host-side request counter; key derived inside the jit
+        # host-side request counter; key derived inside the jit. itertools
+        # counters are atomic under the GIL, so concurrent impute() callers
+        # (outside serve_http's lock) never reuse a PRNG key.
+        self._ctr = itertools.count(1)
 
         model = self.model
 
@@ -84,10 +88,9 @@ class ImputationServer:
             mask = np.concatenate(
                 [mask, np.ones((pad, mask.shape[1]), np.float32)]
             )
-        self._ctr += 1
         filled, negll = self._impute(self.params, jnp.asarray(x),
                                      jnp.asarray(mask), self._base_key,
-                                     np.uint32(self._ctr))
+                                     np.uint32(next(self._ctr)))
         # one batched device->host readback for both outputs
         filled, negll = jax.device_get((filled, negll))
         return filled[:n], negll[:n]

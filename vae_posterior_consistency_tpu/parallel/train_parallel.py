@@ -144,6 +144,10 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     bsz = max(min(cfg.batch_size, n) // dp * dp, dp)
     steps = math.ceil(n / bsz)
     pad = steps * bsz - n
+    # when n < dp the padded epoch (dp rows) needs more than one copy of the
+    # permutation; tile it (jnp.tile below) so tiny datasets on wide meshes
+    # train rather than failing an out-of-range dynamic_slice at trace time
+    perm_reps = math.ceil((n + pad) / n)
 
     key0 = jax.random.PRNGKey(cfg.seed)
     params = model.init(key0, cfg, dataset.obs_dim)
@@ -173,7 +177,7 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
             kperm, kstep = jax.random.split(ekey)
             perm = jax.random.permutation(kperm, n)
             if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])
+                perm = jnp.tile(perm, perm_reps)[: n + pad]
             x_e = jnp.take(data, perm, axis=0)
             m_e = jnp.take(mask, perm, axis=0)
 
