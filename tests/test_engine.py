@@ -36,6 +36,45 @@ def test_train_reduces_loss(dataset, tmp_path):
     assert hist[-1] < hist[0] * 0.8
 
 
+def test_early_stopping_stops_and_restores_best(dataset, tmp_path):
+    """train(early_stopping=...) must stop before cfg.epoch on a plateau and
+    return the best-validation parameters (VERDICT r1 item 3; reference's
+    helper is dead code: src/utils/pytorchtools.py:5-58)."""
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EarlyStopping,
+    )
+
+    # delta so large that no later check ever counts as an improvement:
+    # the first validation snapshot is "best", patience exhausts after 2
+    # more checks, and training must stop at epoch 15 of 200.
+    es = EarlyStopping(patience=2, delta=1e9)
+    cfg = _cfg(tmp_path, epoch=200, vae_type="vanilla_vae1")
+    params, hist = train.train(dataset, cfg, experiments_root=str(tmp_path),
+                               save=False, chunk_epochs=5, early_stopping=es)
+    assert es.early_stop
+    assert len(hist) == 15  # 3 checks x 5-epoch chunks, not 200 epochs
+    assert es.best_params is not None
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(es.best_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_early_stopping_improving_run_keeps_training(dataset, tmp_path):
+    """A genuinely improving run must NOT stop early, and must return the
+    best (= latest) validation params."""
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EarlyStopping,
+    )
+
+    es = EarlyStopping(patience=3)
+    cfg = _cfg(tmp_path, epoch=40, vae_type="vanilla_vae1")
+    params, hist = train.train(dataset, cfg, experiments_root=str(tmp_path),
+                               save=False, chunk_epochs=10, early_stopping=es)
+    assert not es.early_stop
+    assert len(hist) == 40
+    assert np.isfinite(es.best_loss)
+
+
 def test_checkpoint_roundtrip(dataset, tmp_path):
     cfg = _cfg(tmp_path)
     params, _ = train.train(dataset, cfg, experiments_root=str(tmp_path))

@@ -187,6 +187,34 @@ class FlatRunner:
         return self.run_chunk(pflat, opt_state, key, epoch0, n_epochs)
 
 
+def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
+    """Compile a full-split validation objective for early stopping.
+
+    Same per-batch mask dispatch as the training step, evaluated without
+    gradients on the whole validation split at once. The mask_p / drop draw
+    uses a key FIXED across checks, so successive validation losses are
+    comparable (the reference's per-epoch val loader redraws masks, adding
+    noise to exactly the signal EarlyStopping thresholds on)."""
+    info = cfg.info
+
+    @jax.jit
+    def val_loss(pflat, key, epoch):
+        k_mask, k_model = jax.random.split(key)
+        if info.regularized:
+            mask_p = masks.sub_mask(k_mask, mask, cfg.p_missingness)
+            eff_mask = mask
+        elif info.with_drop:
+            mask_p = jnp.ones_like(mask)
+            eff_mask = mask * masks.eddi_drop_mask(k_mask, mask.shape)
+        else:
+            mask_p = jnp.ones_like(mask)
+            eff_mask = mask
+        return model.train_loss(unravel(pflat), x, eff_mask, mask_p, k_model,
+                                epoch, cfg)[0]
+
+    return val_loss
+
+
 def train(
     dataset: Dataset,
     cfg: RunConfig,
@@ -197,6 +225,7 @@ def train(
     save: bool = True,
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
+    early_stopping=None,
 ):
     """Full training run; returns (params, per-epoch loss history).
 
@@ -208,7 +237,14 @@ def train(
     cannot resume — SURVEY.md §5 'Checkpoint / resume'):
     - `checkpoint_every=N` writes (params, optimizer state, epoch) to
       `<checkpoint>.resume.pt` every N epochs;
-    - `resume=True` restarts from that state mid-training.
+    - `resume=True` restarts from that state mid-training;
+    - `early_stopping=utils.early_stopping.EarlyStopping(...)` runs a
+      validation pass (dataset.test if present, else train) at every chunk
+      boundary — `chunk_epochs` sets the check cadence — and, on patience
+      exhaustion, stops and restores the best parameters. The reference
+      imports its EarlyStopping but never instantiates it
+      (src/experiment_main/train.py:4, src/utils/pytorchtools.py:5-58); here
+      it is genuinely wired in.
     """
     import os
 
@@ -222,6 +258,13 @@ def train(
                                  template_params=params)
     pflat = runner.to_flat(params)
     opt_state = runner.tx.init(pflat)
+
+    val_fn = None
+    if early_stopping is not None:
+        vsplit = dataset.test if dataset.test is not None else dataset.train
+        val_fn = _build_val_fn(cfg, model, runner.to_tree, vsplit.x,
+                               vsplit.mask)
+        k_val = jax.random.fold_in(k_run, 0x5A11D)  # fixed across checks
 
     final_path = checkpoint.checkpoint_path(cfg, experiments_root)
     resume_path = final_path + ".resume.pt"
@@ -253,8 +296,14 @@ def train(
             )
         if log_fn is not None:
             log_fn(done, history[-1])
+        if val_fn is not None:
+            vloss = float(val_fn(pflat, k_val, jnp.float32(done)))
+            if early_stopping.update(vloss, runner.to_tree(pflat)):
+                break
 
     params = runner.to_tree(pflat)
+    if early_stopping is not None and early_stopping.best_params is not None:
+        params = early_stopping.best_params
     if save:
         checkpoint.save(params, final_path)
     return params, history

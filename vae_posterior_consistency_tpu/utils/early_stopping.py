@@ -2,9 +2,11 @@
 
 Functional equivalent of the reference's EarlyStopping helper
 (reference: src/utils/pytorchtools.py:5-58) — which is imported by the training
-loop but never instantiated (reference: src/experiment_main/train.py:4); it is
-provided here as a first-class, wired-in option (`train(..., early_stopping=...)`
-support can hook `update()` per validation pass).
+loop but never instantiated (reference: src/experiment_main/train.py:4). Here
+it IS wired in: `engine.train.train(..., early_stopping=EarlyStopping(...))`
+runs a compiled validation pass at every chunk boundary, calls `update()`, and
+on stop restores the best parameters (tests/test_engine.py covers both the
+stop-early and the restore-best behaviors).
 """
 
 from __future__ import annotations
