@@ -63,8 +63,66 @@ def _ensure_ref_dirs(exp_type, data_type, vae_type):
                     exist_ok=True)
 
 
+def _patch_variant_classes(not_miwae_type="changed", reg_variant="v2"):
+    """Rebind the reference factory's notMIWAE names to the DEAD variant
+    classes so the reference's own train/eval loops drive them.
+
+    The reference never instantiates `notMIWAE` (author), `REG_notMIWAE`
+    ('both_s') or `REG_notMIWAE_new_version` ('sampled_mask') — its factory
+    hard-codes notMIWAE_myversion / REG_notMIWAE_v2
+    (reference: src/utils/loaders.py:92,222) and its train loop's
+    'reg_notMIWAE' branch calls forward(data, mask, mask_p, stage=...)
+    (train.py:89-90), which REG_notMIWAE (forward has no `stage`,
+    VAE.py:2683) and REG_notMIWAE_new_version (forward takes no mask_p and
+    loss has a different arity, VAE.py:2202,2319) cannot even accept — the
+    variants are dead code that would crash if selected. The thin adapters
+    below ONLY bridge those signature gaps; all math is the reference's.
+
+    Returns a restore() callable."""
+    import src.utils.loaders as ref_loaders
+    from src.models import VAE as refVAE
+
+    saved = {}
+    if not_miwae_type == "author":
+        saved["notMIWAE_myversion"] = ref_loaders.notMIWAE_myversion
+        ref_loaders.notMIWAE_myversion = refVAE.notMIWAE
+    if reg_variant == "both_s":
+        class _BothS(refVAE.REG_notMIWAE):
+            def forward(self, data, mask, mask_p, stage="train"):
+                return refVAE.REG_notMIWAE.forward(self, data, mask, mask_p)
+
+        saved["REG_notMIWAE_v2"] = ref_loaders.REG_notMIWAE_v2
+        ref_loaders.REG_notMIWAE_v2 = _BothS
+    elif reg_variant == "sampled_mask":
+        class _SampledMask(refVAE.REG_notMIWAE_new_version):
+            def forward(self, data, mask, mask_p=None, stage="train"):
+                m, lv, xm, xlv = refVAE.REG_notMIWAE_new_version.forward(
+                    self, data, mask
+                )
+                return m, lv, xm, xlv, m, lv, xm, xlv
+
+            def loss(self, x, x_recon_p, x_logvar_p, mean_p, logvar_p,
+                     x_recon_q, x_logvar_q, mean_q, logvar_q, mask, mask_p,
+                     epoch, **kw):
+                # mask_p is ignored: the real loss samples its own from the
+                # learned p(s|x) (reference: VAE.py:2232-2239)
+                return refVAE.REG_notMIWAE_new_version.loss(
+                    self, x, x_recon_q, x_logvar_q, mean_q, logvar_q, mask,
+                    epoch, **kw
+                )
+
+        saved["REG_notMIWAE_v2"] = ref_loaders.REG_notMIWAE_v2
+        ref_loaders.REG_notMIWAE_v2 = _SampledMask
+
+    def restore():
+        for name, cls in saved.items():
+            setattr(ref_loaders, name, cls)
+
+    return restore
+
+
 def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
-                  train_k=1, valid_k=1):
+                  train_k=1, valid_k=1, reg_type="kl_reg"):
     """Train + evaluate with the reference's own code; returns metrics dict.
 
     MIWAE-family types route through the reference's per-row eval_miwae
@@ -97,14 +155,14 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
         ref_train(
             loader_train, missing_rate, obs_dim, 500, 10, 1, 10, data_type,
             tp, exp_type, vae_type, train_k, 10, epochs,
-            alpha=1.0, p_missingness=30, reg_type="kl_reg",
+            alpha=1.0, p_missingness=30, reg_type=reg_type,
         )
         is_miwae = "MIWAE" in vae_type
         eval_fn = ref_eval_miwae if is_miwae else ref_eval_vae
         eval_fn(
             [loader_train, loader_test], missing_rate, obs_dim, 500, 10, 2,
             10, data_type, tp, exp_type, vae_type, epochs, valid_k, 10,
-            alpha=1.0, p_missingness=30, reg_type="kl_reg",
+            alpha=1.0, p_missingness=30, reg_type=reg_type,
         )
         # read back the artifacts the reference saved
         from vae_posterior_consistency_tpu.config import RunConfig
@@ -112,7 +170,7 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
 
         cfg = RunConfig(vae_type=vae_type, data_type=data_type,
                         missing_rate=missing_rate, alpha=1.0,
-                        p_missingness=30, reg_type="kl_reg")
+                        p_missingness=30, reg_type=reg_type)
         out = {}
         for stage in ("train", "test"):
             if is_miwae:
@@ -129,7 +187,7 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
 
 
 def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed,
-             train_k=1, valid_k=1):
+             train_k=1, valid_k=1, reg_type="kl_reg"):
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.data import loaders
     from vae_posterior_consistency_tpu.engine import evaluate as E
@@ -138,7 +196,7 @@ def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed,
     cfg = RunConfig(
         vae_type=vae_type, data_type=data_type, epoch=epochs,
         batch_size=batch_size, missing_rate=missing_rate, M=2, alpha=1.0,
-        p_missingness=30, reg_type="kl_reg", seed=seed,
+        p_missingness=30, reg_type=reg_type, seed=seed,
         train_k=train_k, valid_k=valid_k,
     )
     if data_type == "mnist":
@@ -157,19 +215,31 @@ def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed,
 
 
 def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
-                       train_k=20, valid_k=50):
+                       train_k=20, valid_k=50, not_miwae_type="changed",
+                       reg_variant="v2"):
     """MNAR pipeline through the reference's own code
-    (reference: src/experiment_main/imputation_mnar.py:27-85)."""
+    (reference: src/experiment_main/imputation_mnar.py:27-85). The dead
+    variant classes are reached by rebinding the factory names — see
+    _patch_variant_classes."""
+    import contextlib
+
     import torch
 
     torch.manual_seed(seed)
     np.random.seed(seed)
     _stub_missing_modules()
     sys.path.insert(0, REFERENCE)
+    restore = lambda: None  # noqa: E731
     try:
         from src.experiment_main.evaluate import eval_vae_mnar as ref_eval
         from src.experiment_main.train import train as ref_train
         from src.utils.loaders import data_loader_mnar as ref_loader
+
+        restore = _patch_variant_classes(not_miwae_type, reg_variant)
+        # the author-variant loss prints a Bernoulli sample EVERY call
+        # (reference: VAE.py:2961) — drop that firehose
+        quiet = (contextlib.redirect_stdout(open(os.devnull, "w"))
+                 if not_miwae_type == "author" else contextlib.nullcontext())
 
         loader, obs_dim = ref_loader("Data", vae_type, 50, batch_size,
                                      data_type)
@@ -189,26 +259,30 @@ def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
         tp = {"batch_size": batch_size, "patience": 100}
         exp_type = "UCI_experiments_consistency_missingness"
         _ensure_ref_dirs(exp_type, data_type, vae_type)
-        ref_train(loader, 50, obs_dim, 500, 20, 1, 10, data_type, tp,
-                  exp_type, vae_type, train_k, 10, epochs, alpha=1.0,
-                  p_missingness=50, reg_type="kl_reg")
-        ref_eval(data.float(), mask.float(), 50, obs_dim, 500, 20, 2, 10,
-                 data_type, tp, exp_type, vae_type, epochs, valid_k, 10,
-                 alpha=1.0, p_missingness=50, reg_type="kl_reg")
+        with quiet:
+            ref_train(loader, 50, obs_dim, 500, 20, 1, 10, data_type, tp,
+                      exp_type, vae_type, train_k, 10, epochs, alpha=1.0,
+                      p_missingness=50, reg_type="kl_reg")
+            ref_eval(data.float(), mask.float(), 50, obs_dim, 500, 20, 2, 10,
+                     data_type, tp, exp_type, vae_type, epochs, valid_k, 10,
+                     alpha=1.0, p_missingness=50, reg_type="kl_reg",
+                     not_miwae_type=not_miwae_type)
         from vae_posterior_consistency_tpu.config import RunConfig
         from vae_posterior_consistency_tpu.engine import artifacts as art
 
         cfg = RunConfig(vae_type=vae_type, data_type=data_type,
                         missing_rate=50, alpha=1.0, p_missingness=50,
-                        reg_type="kl_reg")
+                        reg_type="kl_reg", not_miwae_type=not_miwae_type)
         path = art.eval_mnar_paths(cfg, "experiments")["rmse"]
         return {"test": {"rmse": float(torch.load(path, weights_only=False))}}
     finally:
+        restore()
         sys.path.remove(REFERENCE)
 
 
 def run_ours_mnar(vae_type, data_type, epochs, batch_size, seed,
-                  train_k=20, valid_k=50):
+                  train_k=20, valid_k=50, not_miwae_type="changed",
+                  reg_variant="v2"):
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.data import loaders
     from vae_posterior_consistency_tpu.engine import evaluate as E
@@ -217,7 +291,9 @@ def run_ours_mnar(vae_type, data_type, epochs, batch_size, seed,
     cfg = RunConfig(vae_type=vae_type, data_type=data_type, epoch=epochs,
                     batch_size=batch_size, missing_rate=50, M=2, alpha=1.0,
                     p_missingness=50, reg_type="kl_reg", seed=seed,
-                    train_k=train_k, valid_k=valid_k)
+                    train_k=train_k, valid_k=valid_k,
+                    not_miwae_type=not_miwae_type,
+                    reg_notmiwae_variant=reg_variant)
     ds = loaders.data_loader_mnar("Data", vae_type, 50, batch_size, data_type)
     params, _ = T.train(ds, cfg, save=False)
     rmse = E.eval_vae_mnar(ds.train.x, ds.train.mask, cfg, params=params,
@@ -311,6 +387,15 @@ def main():
     ap.add_argument("--seeds", type=int, default=2)
     ap.add_argument("--al", action="store_true",
                     help="compare active-learning information curves instead")
+    ap.add_argument("--reg_type", default="kl_reg",
+                    choices=["kl_reg", "ml_reg"],
+                    help="regularizer composite (reference VAE.py:133-143)")
+    ap.add_argument("--not_miwae_type", default="changed",
+                    choices=["changed", "author"],
+                    help="notMIWAE base variant (reference VAE.py:2691/2850)")
+    ap.add_argument("--reg_notmiwae_variant", default="v2",
+                    choices=["v2", "both_s", "sampled_mask"],
+                    help="reg-notMIWAE variant (reference VAE.py:2327/2508/2132)")
     args = ap.parse_args()
 
     # run the jax side on CPU: parity is statistical, and this avoids fighting
@@ -354,23 +439,26 @@ def main():
     for seed in range(args.seeds):
         print(f"--- reference (torch) seed {seed} ---", flush=True)
         if is_mnar:
-            ref_runs.append(run_reference_mnar(args.vae_type, args.data_type,
-                                               args.epochs, args.batch_size,
-                                               seed, train_k, valid_k))
+            ref_runs.append(run_reference_mnar(
+                args.vae_type, args.data_type, args.epochs, args.batch_size,
+                seed, train_k, valid_k, args.not_miwae_type,
+                args.reg_notmiwae_variant))
         else:
             ref_runs.append(run_reference(args.vae_type, args.data_type,
                                           args.epochs, args.missing_rate,
                                           args.batch_size, seed, train_k,
-                                          valid_k))
+                                          valid_k, args.reg_type))
         print(f"--- framework (jax) seed {seed} ---", flush=True)
         if is_mnar:
-            our_runs.append(run_ours_mnar(args.vae_type, args.data_type,
-                                          args.epochs, args.batch_size, seed,
-                                          train_k, valid_k))
+            our_runs.append(run_ours_mnar(
+                args.vae_type, args.data_type, args.epochs, args.batch_size,
+                seed, train_k, valid_k, args.not_miwae_type,
+                args.reg_notmiwae_variant))
         else:
             our_runs.append(run_ours(args.vae_type, args.data_type,
                                      args.epochs, args.missing_rate,
-                                     args.batch_size, seed, train_k, valid_k))
+                                     args.batch_size, seed, train_k, valid_k,
+                                     args.reg_type))
 
     metrics = (("rmse",) if (is_miwae or is_mnar)
                else ("rmse", "elbo", "negll", "negll_imp"))
