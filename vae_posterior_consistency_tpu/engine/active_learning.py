@@ -215,19 +215,26 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
     key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
 
     runner = make_al_runner(cfg, model, D, n_test)
-    per_repeat = []
-    for r in range(Repeat):
-        k_r = jax.random.fold_in(key, r)
-        k_maskp, k_run = jax.random.split(k_r)
-        # mask_p for reg-model forwards (computed but unused by the reward —
-        # reference: evaluate.py:351-352)
-        mask_p = test_mask * masks.mcar_mask(k_maskp, test_mask.shape,
-                                             cfg.p_missingness)
-        per_repeat.append(runner(params, x, mask_p, k_run))
+    # derive every repeat's keys/mask_p up front (same streams as the former
+    # per-repeat dispatch loop), then run ALL repeats inside one program —
+    # a single host->device dispatch instead of `Repeat` (reference's loop:
+    # evaluate.py:387 nesting; VERDICT r1 item 5)
+    rkeys = jax.vmap(lambda r: jax.random.fold_in(key, r))(jnp.arange(Repeat))
+    kpairs = jax.vmap(jax.random.split)(rkeys)  # [Repeat, 2, 2]
+    # mask_p for reg-model forwards (computed but unused by the reward —
+    # reference: evaluate.py:351-352)
+    mask_ps = jax.vmap(
+        lambda k: test_mask * masks.mcar_mask(k, test_mask.shape,
+                                              cfg.p_missingness)
+    )(kpairs[:, 0])
 
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *per_repeat
-    )
+    @jax.jit
+    def run_all(params, x, mask_ps, run_keys):
+        return jax.lax.map(
+            lambda mk: runner(params, x, mk[0], mk[1]), (mask_ps, run_keys)
+        )
+
+    stacked = run_all(params, x, mask_ps, kpairs[:, 1])
     if save:
         paths = artifacts.active_learning_paths(cfg, experiments_root)
         for name in ("information_curve", "action", "R_hist", "im"):

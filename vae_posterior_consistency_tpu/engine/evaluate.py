@@ -37,16 +37,20 @@ def _pad_batches(n: int, bsz: int):
 
 
 def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
-    """Compile: (params, x, mask, key) -> per-rep aggregate metrics dict.
+    """Compile: (params, x, mask, key) -> metrics dict aggregated over all
+    cfg.M Monte-Carlo reps IN ONE PROGRAM.
 
     One rep = one pass over the split in shuffled constant-size batches
-    (loader shuffle=True parity, reference src/utils/loaders.py:344-352),
-    sequential over batches (lax.map) to bound memory at large sample counts.
+    (loader shuffle=True parity, reference src/utils/loaders.py:344-352).
+    Both loops — reps (the reference's `for _ in range(M)`,
+    evaluate.py:160-245) and batches — are sequential `lax.map`s inside one
+    jit: a single host->device dispatch per split regardless of M (each
+    dispatch over a tunneled TPU costs a full RTT; M=50 in most grid configs),
+    with memory still bounded to one batch at large sample counts.
     """
     bsz = min(cfg.batch_size, n)
     steps, pad = _pad_batches(n, bsz)
 
-    @jax.jit
     def one_rep(params, x, mask, key):
         kperm, kbatch = jax.random.split(key)
         perm = jax.random.permutation(kperm, n)
@@ -80,7 +84,12 @@ def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
         outs = jax.lax.map(per_batch, jnp.arange(steps))
         return jax.tree_util.tree_map(jnp.mean, outs)
 
-    return one_rep
+    @jax.jit
+    def all_reps(params, x, mask, keys):
+        per_rep = jax.lax.map(lambda k: one_rep(params, x, mask, k), keys)
+        return jax.tree_util.tree_map(jnp.mean, per_rep)
+
+    return all_reps
 
 
 def eval_vae(dataset: Dataset, cfg: RunConfig, params=None,
@@ -102,13 +111,13 @@ def eval_vae(dataset: Dataset, cfg: RunConfig, params=None,
     for split in (dataset.train, dataset.test):
         if split is None:
             continue
-        one_rep = _split_eval_fn(cfg, model, split.n, num_samples)
-        reps = []
-        for m in range(cfg.M):
-            reps.append(one_rep(params, split.x, split.mask,
-                                jax.random.fold_in(key, m)))
+        eval_fn = _split_eval_fn(cfg, model, split.n, num_samples)
+        # same key stream as the former per-rep dispatch loop
+        keys = jax.vmap(lambda m: jax.random.fold_in(key, m))(
+            jnp.arange(cfg.M)
+        )
         agg = jax.tree_util.tree_map(
-            lambda *xs: float(jnp.mean(jnp.stack(xs))), *reps
+            float, jax.device_get(eval_fn(params, split.x, split.mask, keys))
         )
         results[split.stage] = agg
         if save:
@@ -153,7 +162,6 @@ def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
     key = jax.random.PRNGKey(cfg.seed + 2) if key is None else key
     num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
 
-    @jax.jit
     def one_rep(params, k):
         k_maskp, k_model = jax.random.split(k)
         mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
@@ -164,8 +172,14 @@ def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
         se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
         return jnp.sqrt(se / jnp.sum(hole))
 
-    rmses = [one_rep(params, jax.random.fold_in(key, m)) for m in range(cfg.M)]
-    rmse = float(jnp.mean(jnp.stack(rmses)))
+    @jax.jit
+    def all_reps(params, keys):
+        # all M reps in one program: one dispatch instead of M
+        # (reference's loop: evaluate.py:28-52)
+        return jnp.mean(jax.lax.map(lambda k: one_rep(params, k), keys))
+
+    keys = jax.vmap(lambda m: jax.random.fold_in(key, m))(jnp.arange(cfg.M))
+    rmse = float(all_reps(params, keys))
     if save:
         paths = artifacts.eval_mnar_paths(cfg, experiments_root)
         artifacts.save_tensor(rmse, paths["rmse"])
