@@ -47,6 +47,15 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
         parser.add_argument(
             "-%s" % key, type=typ, help=value.get("help", ""), default=default
         )
+    # framework extension (not in the reference's JSONL schema): device-mesh
+    # selection for the multi-chip engine. The reference is hard-wired to one
+    # device (src/experiment_main/imputation.py:16).
+    if "mesh" not in arguments:
+        parser.add_argument(
+            "-mesh", type=str, default="",
+            help="device mesh: '' = single-chip engine, 'auto' = all devices "
+                 "(dp x tp auto-factored), 'DP' or 'DP,TP' explicit",
+        )
     return parser
 
 
