@@ -19,9 +19,11 @@ import jax
 # opt-in NaN tripwire (the reference's always-on detect_anomaly equivalent —
 # PARITY.md documented deviation #7): VPC_DEBUG_NANS=1
 from vae_posterior_consistency_tpu.utils.debugging import (
+    apply_platform_from_env,
     enable_nan_debugging_from_env,
 )
 
+apply_platform_from_env()
 enable_nan_debugging_from_env()
 
 from vae_posterior_consistency_tpu.config import (

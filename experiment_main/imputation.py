@@ -21,15 +21,18 @@ import jax
 # opt-in NaN tripwire (the reference's always-on detect_anomaly equivalent —
 # PARITY.md documented deviation #7): VPC_DEBUG_NANS=1
 from vae_posterior_consistency_tpu.utils.debugging import (
+    apply_platform_from_env,
     enable_nan_debugging_from_env,
 )
 
+apply_platform_from_env()
 enable_nan_debugging_from_env()
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    resolve_mesh,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -60,13 +63,29 @@ def main():
                 # MIWAE-family models train with train_k importance samples and
                 # evaluate with valid_k (reference: imputation.py:33-39 passes
                 # train_k as num_samples to train, valid_k to eval)
+                mesh = resolve_mesh(cfg)
+                tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 print(f"=== train {cfg.vae_type} (missing={missing}, "
-                      f"alpha={alpha}) ===")
-                train_engine.train(
-                    dataset, cfg, log_fn=epoch_logger(cfg.epoch)
-                )
-                print(f"=== eval {cfg.vae_type} ===")
-                results = eval_engine.eval_vae(dataset, cfg)
+                      f"alpha={alpha}){tag} ===")
+                if mesh is not None:
+                    # multi-chip engine: batch dp-sharded, wide params
+                    # tp-sharded; same checkpoint/artifact contract
+                    from vae_posterior_consistency_tpu.engine.evaluate_sharded import (  # noqa: E501
+                        eval_vae_sharded,
+                    )
+                    from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
+                        train_sharded,
+                    )
+
+                    train_sharded(dataset, cfg, mesh, save=True)
+                    print(f"=== eval {cfg.vae_type} ===")
+                    results = eval_vae_sharded(dataset, cfg, mesh)
+                else:
+                    train_engine.train(
+                        dataset, cfg, log_fn=epoch_logger(cfg.epoch)
+                    )
+                    print(f"=== eval {cfg.vae_type} ===")
+                    results = eval_engine.eval_vae(dataset, cfg)
                 for stage, metrics in results.items():
                     print(f"  [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))

@@ -19,15 +19,18 @@ import jax
 # opt-in NaN tripwire (the reference's always-on detect_anomaly equivalent —
 # PARITY.md documented deviation #7): VPC_DEBUG_NANS=1
 from vae_posterior_consistency_tpu.utils.debugging import (
+    apply_platform_from_env,
     enable_nan_debugging_from_env,
 )
 
+apply_platform_from_env()
 enable_nan_debugging_from_env()
 
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    resolve_mesh,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -66,12 +69,26 @@ def main():
                     cfg.batch_size, cfg.data_type,
                     data_transform=DATA_TRANSFORM,
                 )
+                mesh = resolve_mesh(cfg)
+                tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
-                      f"alpha={alpha}) ===")
-                train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch))
+                      f"alpha={alpha}){tag} ===")
+                params = None
+                if mesh is not None:
+                    from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
+                        train_sharded,
+                    )
+
+                    params, _ = train_sharded(dataset, cfg, mesh, save=True)
+                    # MNAR eval is one full-matrix pass x M — cheap; gather
+                    # the trained params and reuse the single-program engine
+                    params = jax.device_get(params)
+                else:
+                    train_engine.train(dataset, cfg,
+                                       log_fn=epoch_logger(cfg.epoch))
                 print(f"=== eval {cfg.vae_type} (MNAR) ===")
                 rmse = eval_engine.eval_vae_mnar(
-                    dataset.train.x, dataset.train.mask, cfg
+                    dataset.train.x, dataset.train.mask, cfg, params=params
                 )
                 print(f"  rmse={rmse:.5f}")
 

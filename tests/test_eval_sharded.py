@@ -39,7 +39,9 @@ def test_sharded_eval_matches_local():
     xp = jnp.concatenate([x, jnp.zeros((pad, D))])
     mp_ = jnp.concatenate([mask, jnp.ones((pad, D))])
     w = (jnp.arange(n + pad) < n).astype(jnp.float32)
-    k_maskp, k_model = jax.random.split(key)
+    # rep 0's key: the sharded path folds the rep index before splitting
+    # (eval_split_sharded runs all n_reps inside one program)
+    k_maskp, k_model = jax.random.split(jax.random.fold_in(key, 0))
     mask_p = M.sub_mask(k_maskp, mp_, cfg.p_missingness)
     out = model.eval_step(params, xp, mp_, mask_p, k_model, cfg)
     hole = (1.0 - mp_) * w[:, None]

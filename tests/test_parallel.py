@@ -145,3 +145,56 @@ def test_train_sharded_full_loop(tiny_dataset):
     # params came back in the mesh layout
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.sharding.mesh.shape["dp"] == mesh.shape["dp"]
+
+
+def test_cli_mesh_routing(tiny_dataset, tmp_path):
+    """The MCAR entry point with -mesh 4,2 must train+eval through the
+    sharded engines from the CLI and write the same reference-named
+    checkpoint/artifacts (VERDICT r1 item 1; the reference assumes one
+    device: src/experiment_main/imputation.py:16)."""
+    import json
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "Data"
+    data_dir.mkdir()
+    (data_dir / "synth_small").symlink_to(
+        os.path.join(tiny_dataset, "synth_small")
+    )
+    record = {
+        k: {"default": v, "help": ""}
+        for k, v in dict(
+            vae_type="reg_vae1", data_type="synth_small", epoch=4,
+            batch_size=16, M=2, train_k=2, valid_k=3, latent_dim=4,
+            missing_rate=30, hid_dim=64,
+        ).items()
+    }
+    (data_dir / "imputation_args.json").write_text(json.dumps(record) + "\n")
+
+    env = dict(os.environ)
+    env.update(
+        VPC_PLATFORM="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    out = subprocess.run(
+        ["python3", os.path.join(repo, "experiment_main", "imputation.py"),
+         "-mesh", "4,2"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "mesh={'dp': 4, 'tp': 2}" in out.stdout
+    assert "[test]" in out.stdout
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine import artifacts as art
+    from vae_posterior_consistency_tpu.engine import checkpoint
+
+    cfg = RunConfig(vae_type="reg_vae1", data_type="synth_small",
+                    missing_rate=30, alpha=1.0, p_missingness=30)
+    root = str(tmp_path / "experiments")
+    assert os.path.exists(checkpoint.checkpoint_path(cfg, root))
+    for stage in ("train", "test"):
+        for p in art.eval_vae_paths(cfg, stage, root).values():
+            assert os.path.exists(p), p

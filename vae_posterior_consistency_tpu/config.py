@@ -186,6 +186,12 @@ class RunConfig:
     # regularized notMIWAE variant: 'v2' (factory default) | 'both_s' |
     # 'sampled_mask' (see models/notmiwae.py)
     reg_notmiwae_variant: str = "v2"
+    #: device mesh for the multi-chip engine: '' = single-chip, 'auto' = all
+    #: devices (dp x tp auto-factored), 'DP' or 'DP,TP' explicit. The
+    #: reference is hard-wired to one device (imputation.py:16); with a mesh
+    #: the CLI routes through parallel/train_parallel.train_sharded +
+    #: engine/evaluate_sharded.
+    mesh: str = ""
 
     @property
     def info(self) -> VaeTypeInfo:
@@ -215,6 +221,36 @@ class RunConfig:
 
     def replace(self, **kw) -> "RunConfig":
         return dataclasses.replace(self, **kw)
+
+
+def resolve_mesh(cfg: "RunConfig"):
+    """cfg.mesh -> jax.sharding.Mesh or None (single-chip engine).
+
+    '' -> None; 'auto' -> all devices, (dp, tp) auto-factored; 'DP' or
+    'DP,TP' -> explicit split over the first DP*TP devices. A 1-device
+    'auto' resolves to None so single-chip runs stay on the flat-param fused
+    engine (engine/train.py), which is faster there.
+    """
+    import jax
+
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    spec = (cfg.mesh or "").strip().lower()
+    if not spec:
+        return None
+    devices = jax.devices()
+    if spec == "auto":
+        if len(devices) < 2:
+            return None
+        return meshlib.make_mesh(devices)
+    parts = [int(p) for p in spec.split(",")]
+    dp, tp = (parts + [1])[:2]
+    need = dp * tp
+    if len(devices) < need:
+        raise ValueError(
+            f"-mesh {cfg.mesh!r} needs {need} devices, have {len(devices)}"
+        )
+    return meshlib.make_mesh(devices[:need], dp=dp, tp=tp)
 
 
 def apply_rng_impl(cfg: "RunConfig") -> None:

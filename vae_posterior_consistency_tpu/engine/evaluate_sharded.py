@@ -22,11 +22,14 @@ from vae_posterior_consistency_tpu.ops import masks
 
 
 def eval_split_sharded(params, x, mask, cfg: RunConfig, mesh, key=None,
-                       num_samples=None):
-    """One evaluation pass over all rows, dp-sharded.
+                       num_samples=None, n_reps: int = 1):
+    """Evaluation over all rows, dp-sharded; `n_reps` Monte-Carlo reps (fresh
+    mask_p each) run inside ONE compiled program (lax.map — single dispatch,
+    memory bounded to one rep).
 
-    Returns global aggregates: {rmse, loss, negl, negl_imp} where rmse is the
-    global missing-cell RMSE and the others are row means.
+    Returns global aggregates averaged over reps: {rmse, loss, negl,
+    negl_imp} where rmse is the global missing-cell RMSE and the others are
+    row means.
     """
     model = get_model(cfg)
     key = jax.random.PRNGKey(cfg.seed + 7) if key is None else key
@@ -45,24 +48,80 @@ def eval_split_sharded(params, x, mask, cfg: RunConfig, mesh, key=None,
 
     @jax.jit
     def run(params, x, mask, w, key):
-        k_maskp, k_model = jax.random.split(key)
-        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
-        out = model.eval_step(
-            params, x, mask, mask_p, k_model, cfg,
-            **({"num_samples": num_samples} if num_samples else {}),
+        def one_rep(k):
+            k_maskp, k_model = jax.random.split(k)
+            mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
+            out = model.eval_step(
+                params, x, mask, mask_p, k_model, cfg,
+                **({"num_samples": num_samples} if num_samples else {}),
+            )
+            hole = (1.0 - mask) * w[:, None]
+            se = jnp.sum(jnp.square((out["x_imputed"] - x) * hole))
+            cnt = jnp.sum(w)
+            return {
+                "rmse": jnp.sqrt(se / jnp.maximum(jnp.sum(hole), 1.0)),
+                "loss": jnp.sum(out["row_loss"] * w) / cnt,
+                "negl": jnp.sum(out["row_negl"] * w) / cnt,
+                "negl_imp": jnp.sum(out["row_negl_imp"] * w) / cnt,
+            }
+
+        keys = jax.vmap(lambda m: jax.random.fold_in(key, m))(
+            jnp.arange(n_reps)
         )
-        hole = (1.0 - mask) * w[:, None]
-        se = jnp.sum(jnp.square((out["x_imputed"] - x) * hole))
-        cnt = jnp.sum(w)
-        return {
-            "rmse": jnp.sqrt(se / jnp.maximum(jnp.sum(hole), 1.0)),
-            "loss": jnp.sum(out["row_loss"] * w) / cnt,
-            "negl": jnp.sum(out["row_negl"] * w) / cnt,
-            "negl_imp": jnp.sum(out["row_negl_imp"] * w) / cnt,
-        }
+        per_rep = jax.lax.map(one_rep, keys)
+        return jax.tree_util.tree_map(jnp.mean, per_rep)
 
     x = jax.device_put(x, b_shard)
     mask = jax.device_put(mask, b_shard)
     w = jax.device_put(w, r_shard)
     params = jax.device_put(params, repl)
     return {k: float(v) for k, v in run(params, x, mask, w, key).items()}
+
+
+def eval_vae_sharded(dataset, cfg: RunConfig, mesh, params=None,
+                     experiments_root: str = "experiments", key=None,
+                     save: bool = True):
+    """Mesh-path equivalent of engine/evaluate.eval_vae: cfg.M Monte-Carlo
+    reps per split (fresh mask_p each, reference: evaluate.py:164-174),
+    rows dp-sharded, same reference-named artifacts written.
+
+    Aggregation deviation (documented): the single-chip engine reproduces the
+    reference's mean-of-per-batch statistics; here each rep evaluates the
+    whole split at once (no batching), so metrics are whole-split aggregates
+    — statistically equivalent, and exact for the row-mean metrics when the
+    split divides evenly.
+    """
+    from vae_posterior_consistency_tpu.engine import artifacts
+    from vae_posterior_consistency_tpu.engine.train import load_trained
+
+    model = get_model(cfg)
+    if params is None:
+        params = load_trained(dataset, cfg, experiments_root)
+    key = jax.random.PRNGKey(cfg.seed + 1) if key is None else key
+    num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
+
+    results = {}
+    for split in (dataset.train, dataset.test):
+        if split is None:
+            continue
+        agg = eval_split_sharded(
+            params, split.x, split.mask, cfg, mesh, key=key,
+            num_samples=num_samples, n_reps=cfg.M,
+        )
+        results[split.stage] = agg
+        if save:
+            if model.eval_kind == "miwae":
+                paths = artifacts.eval_miwae_paths(cfg, split.stage,
+                                                   experiments_root)
+                artifacts.save_tensor(agg["rmse"], paths["rmse"])
+            else:
+                paths = artifacts.eval_vae_paths(cfg, split.stage,
+                                                 experiments_root)
+                artifacts.save_tensor(agg["rmse"], paths["rmse"])
+                artifacts.save_tensor(agg["loss"], paths["elbo"])
+                artifacts.save_tensor(agg["negl"], paths["negll"])
+                artifacts.save_tensor(agg["negl_imp"], paths["negll_imp"])
+            for name, val in agg.items():
+                artifacts.log_metric(cfg, name, val, split.stage,
+                                     experiments_root)
+    return results

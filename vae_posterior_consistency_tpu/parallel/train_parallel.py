@@ -116,7 +116,8 @@ def dryrun_train_step(cfg: RunConfig, mesh, obs_dim: int = 8,
 
 
 def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
-                  model=None):
+                  model=None, save: bool = False,
+                  experiments_root: str = "experiments"):
     """Full multi-chip training loop: the single-device engine's semantics
     (per-epoch permutation, on-device mask_p/drop generation, reference
     1-based epoch indexing, Adam fused in-program — engine/train.py) with
@@ -213,4 +214,11 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
                                             jnp.asarray(done), n_e)
         history.append(jax.device_get(hist))
         done += n_e
+    if save:
+        # same mangled checkpoint path as the single-chip engine (the layout
+        # is mesh-independent: leaves gather to host arrays on save)
+        from vae_posterior_consistency_tpu.engine import checkpoint
+
+        checkpoint.save(jax.device_get(params),
+                        checkpoint.checkpoint_path(cfg, experiments_root))
     return params, np.concatenate(history, axis=0)

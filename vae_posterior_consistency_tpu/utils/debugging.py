@@ -47,3 +47,19 @@ def enable_nan_debugging_from_env(var: str = "VPC_DEBUG_NANS") -> None:
 
     if os.environ.get(var):
         enable_nan_debugging()
+
+
+def apply_platform_from_env(var: str = "VPC_PLATFORM") -> None:
+    """VPC_PLATFORM=cpu (or any backend name) pins the jax platform for the
+    entry points. The JAX_PLATFORMS *env var* can be overridden by pinned
+    experimental TPU plugins; the config API wins when applied before the
+    backend initializes — so the CLI scripts call this first thing. Used by
+    tests to drive the CLI on a virtual CPU mesh, and by users to force CPU
+    runs on a TPU host."""
+    import os
+
+    plat = os.environ.get(var)
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
