@@ -198,3 +198,22 @@ def test_cli_mesh_routing(tiny_dataset, tmp_path):
     for stage in ("train", "test"):
         for p in art.eval_vae_paths(cfg, stage, root).values():
             assert os.path.exists(p), p
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("VPC_MULTIHOST_TEST"),
+                    reason="opt-in: set VPC_MULTIHOST_TEST=1 (spawns 2 "
+                           "jax.distributed processes)")
+def test_multihost_two_process_smoke():
+    """2-process jax.distributed handshake + global mesh + cross-process
+    reduction (VERDICT r1 item 9). Always runnable directly:
+    `python3 tools/multihost_smoke.py`."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        ["python3", os.path.join(repo, "tools", "multihost_smoke.py")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
