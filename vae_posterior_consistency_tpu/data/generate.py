@@ -97,7 +97,19 @@ def generate_uci(root: str, data_type: str, rates=(30, 50), n_splits=3,
 
 def generate_mnist(root: str, rate=30, seed=1234) -> None:
     """Stand-in 784-dim image table from sklearn's bundled digits (8x8 upsampled
-    to 28x28) — the reference's MNIST artifacts were likewise built offline."""
+    to 28x28) — the reference's MNIST artifacts were likewise built offline.
+
+    GENUINE MNIST takes precedence: if the artifact files already exist (e.g.
+    written by tools/convert_mnist_idx.py from real IDX downloads), they are
+    left untouched — this generator only fills the gap on hosts with no
+    dataset."""
+    out_dir = os.path.join(root, "mnist")
+    expected = [
+        os.path.join(out_dir, f"experiment_{s}_{k}.pt")
+        for s in ("train", "test") for k in ("data", "mask")
+    ]
+    if all(os.path.exists(p) for p in expected):
+        return
     rng = np.random.default_rng(seed)
     from sklearn.datasets import load_digits
 
