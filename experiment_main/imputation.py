@@ -47,10 +47,71 @@ MISSING_SWEEP = [30]
 ALPHA_SWEEP = [1.0]
 
 
+def _group_records(records):
+    """Group config records into compiled-shape families: identical except
+    the vae_type split digit (reg_vae1/2/3 -> one group)."""
+    import json as _json
+
+    groups, order = {}, []
+    for rec in records:
+        d = {k: v["default"] for k, v in rec.items()}
+        key = ("".join(c for c in d["vae_type"] if not c.isdigit()),
+               _json.dumps({k: v for k, v in sorted(d.items())
+                            if k != "vae_type"}))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(rec)
+    return [groups[k] for k in order]
+
+
+def run_suite_ensembles(records, missing, alpha):
+    """Train each family's split triple as ONE vmapped program, then save the
+    per-config checkpoints and run the (single-dispatch) evals — the
+    reference's serial 39-record loop (imputation.py:21-25) becomes ~13
+    compiled ensembles."""
+    import jax as _jax
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    for group in _group_records(records):
+        args = setup_parser(group[0], "impute_eval").parse_args()
+        cfgs = [
+            RunConfig.from_args(args, vae_type=rec["vae_type"]["default"],
+                                alpha=alpha, p_missingness=missing)
+            for rec in group
+        ]
+        apply_rng_impl(cfgs[0])
+        datasets = [
+            loaders.data_loader(c.data_path, c.vae_type, c.missing_rate,
+                                c.batch_size, c.data_type)
+            for c in cfgs
+        ]
+        names = [c.vae_type for c in cfgs]
+        print(f"=== ensemble train {names} (missing={missing}, "
+              f"alpha={alpha}) ===")
+        params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0])
+        for i, cfg in enumerate(cfgs):
+            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
+            checkpoint.save(p_i, checkpoint.checkpoint_path(cfg, "experiments"))
+            results = eval_engine.eval_vae(datasets[i], cfg, params=p_i)
+            for stage, metrics in results.items():
+                print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
+                    f"{k}={v:.5f}" for k, v in metrics.items()))
+
+
 def main():
     print("Devices:", jax.devices())
     write_default_configs("Data")
-    for record in iter_jsonl_configs("Data/imputation_args.json"):
+    records = list(iter_jsonl_configs("Data/imputation_args.json"))
+    probe = setup_parser(records[0], "impute_eval").parse_args()
+    if probe.ensemble:
+        for missing in MISSING_SWEEP:
+            for alpha in ALPHA_SWEEP:
+                run_suite_ensembles(records, missing, alpha)
+        return
+    for record in records:
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:
                 args = setup_parser(record, "impute_eval").parse_args()

@@ -217,3 +217,80 @@ def test_multihost_two_process_smoke():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "OK" in out.stdout
+
+
+def test_train_split_ensemble(tiny_dataset):
+    """The vae_type split-digit axis trains as one vmapped program
+    (VERDICT r1 item 2): per-replica datasets, shared shuffle order,
+    independent inits/keys."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        ensemble_replica,
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=20, batch_size=32, latent_dim=4,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    params, hist = train_split_ensemble(datasets, cfgs[0], chunk_epochs=10)
+    assert hist.shape == (3, 20)
+    assert np.all(np.isfinite(hist))
+    assert (hist[:, -1] < hist[:, 0]).all()  # every replica trains
+    # different splits + inits -> different trajectories
+    assert not np.allclose(hist[0], hist[1])
+    p0 = ensemble_replica(params, 0)
+    leaf = jax.tree_util.tree_leaves(p0)[0]
+    assert leaf.ndim == jax.tree_util.tree_leaves(params)[0].ndim - 1
+
+
+def test_cli_ensemble_suite(tiny_dataset, tmp_path):
+    """`imputation.py -ensemble true` trains split triples as ensembles from
+    the CLI and writes every config's reference-named checkpoint+artifacts."""
+    import json
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "Data"
+    data_dir.mkdir()
+    (data_dir / "synth_small").symlink_to(
+        os.path.join(tiny_dataset, "synth_small")
+    )
+    base = dict(data_type="synth_small", epoch=4, batch_size=16, M=1,
+                train_k=2, valid_k=3, latent_dim=4, missing_rate=30,
+                hid_dim=32)
+    lines = []
+    for fam in ("reg_vae", "vanilla_vae"):
+        for i in "123":
+            rec = dict(base, vae_type=f"{fam}{i}")
+            lines.append(json.dumps(
+                {k: {"default": v, "help": ""} for k, v in rec.items()}))
+    (data_dir / "imputation_args.json").write_text("\n".join(lines) + "\n")
+
+    env = dict(os.environ)
+    env.update(
+        VPC_PLATFORM="cpu",
+        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    out = subprocess.run(
+        ["python3", os.path.join(repo, "experiment_main", "imputation.py"),
+         "-ensemble", "true"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert out.stdout.count("=== ensemble train") == 2  # 2 family groups
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine import artifacts as art
+    from vae_posterior_consistency_tpu.engine import checkpoint
+
+    root = str(tmp_path / "experiments")
+    for fam in ("reg_vae", "vanilla_vae"):
+        for i in "123":
+            cfg = RunConfig(vae_type=f"{fam}{i}", data_type="synth_small",
+                            missing_rate=30, alpha=1.0, p_missingness=30)
+            assert os.path.exists(checkpoint.checkpoint_path(cfg, root))
+            assert os.path.exists(
+                art.eval_vae_paths(cfg, "test", root)["rmse"])

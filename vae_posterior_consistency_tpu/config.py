@@ -47,14 +47,22 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
         parser.add_argument(
             "-%s" % key, type=typ, help=value.get("help", ""), default=default
         )
-    # framework extension (not in the reference's JSONL schema): device-mesh
-    # selection for the multi-chip engine. The reference is hard-wired to one
-    # device (src/experiment_main/imputation.py:16).
+    # framework extensions (not in the reference's JSONL schema):
     if "mesh" not in arguments:
+        # device-mesh selection for the multi-chip engine. The reference is
+        # hard-wired to one device (src/experiment_main/imputation.py:16).
         parser.add_argument(
             "-mesh", type=str, default="",
             help="device mesh: '' = single-chip engine, 'auto' = all devices "
                  "(dp x tp auto-factored), 'DP' or 'DP,TP' explicit",
+        )
+    if "ensemble" not in arguments:
+        # grid-as-ensembles: train each family's 3 data splits as ONE vmapped
+        # program (parallel/sweep.train_split_ensemble) instead of the
+        # reference's serial record loop (imputation.py:21-22).
+        parser.add_argument(
+            "-ensemble", type=str2bool, default=False,
+            help="train each family's split triple as one vmapped ensemble",
         )
     return parser
 

@@ -98,6 +98,90 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200)
     return params, np.concatenate(history, axis=0).T  # [n_seeds, epochs]
 
 
+def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200):
+    """Train one replica per DATA SPLIT of the same model family in a single
+    batched program — the reference's `vae_type` digit axis
+    (reg_vae1/2/3, ... — serial records in Data/imputation_args.json,
+    reference loop: src/experiment_main/imputation.py:21-22).
+
+    Each replica gets its own (x, mask) tables (stacked: splits of one UCI
+    table share shapes), its own init, and its own mask_p/model key streams;
+    the per-epoch shuffle order is shared across replicas (one batched gather
+    instead of S) — replicas hold *different datasets*, so a common
+    permutation couples nothing. Returns (ensemble_params, loss_history
+    [n_splits, epochs]); unstack leaves with `ensemble_replica` to save
+    per-config checkpoints.
+    """
+    model = get_model(cfg)
+    S = len(datasets)
+    xs = jnp.stack([d.train.x for d in datasets])  # [S, n, D]
+    ms = jnp.stack([d.train.mask for d in datasets])
+    n = xs.shape[1]
+    bsz = min(cfg.batch_size, n)
+    steps = math.ceil(n / bsz)
+    pad = steps * bsz - n
+    obs_dim = xs.shape[2]
+
+    init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+        jax.random.PRNGKey(cfg.seed), jnp.arange(S))
+    params = jax.vmap(lambda k: model.init(k, cfg, obs_dim))(init_keys)
+    tx = optax.adam(LEARNING_RATE)
+    opt_state = jax.vmap(tx.init)(params)
+    step_fn, _ = make_train_step(cfg, model)
+
+    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
+    def run_chunk(params, opt_state, epoch0, n_epochs):
+        def epoch_body(carry, off):
+            params, opt_state = carry
+            epoch = (epoch0 + off).astype(jnp.float32) + 1.0
+            ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 13),
+                                      epoch0 + off)
+            kperm, kstep = jax.random.split(ekey)
+            perm = jax.random.permutation(kperm, n)
+            if pad:
+                perm = jnp.concatenate([perm, perm[:pad]])
+            x_epoch = jnp.take(xs, perm, axis=1)  # [S, n+pad, D]
+            m_epoch = jnp.take(ms, perm, axis=1)
+
+            def body(carry2, s):
+                params, opt_state = carry2
+                x_b = jax.lax.dynamic_slice(
+                    x_epoch, (0, s * bsz, 0), (S, bsz, obs_dim))
+                m_b = jax.lax.dynamic_slice(
+                    m_epoch, (0, s * bsz, 0), (S, bsz, obs_dim))
+                rkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    jax.random.fold_in(kstep, s), jnp.arange(S))
+                params, opt_state, loss = jax.vmap(
+                    step_fn, (0, 0, 0, 0, 0, None)
+                )(params, opt_state, x_b, m_b, rkeys, epoch)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(steps))
+            return (params, opt_state), jnp.sum(losses, axis=0)
+
+        (params, opt_state), hist = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs))
+        return params, opt_state, hist
+
+    history = []
+    done = 0
+    while done < cfg.epoch:
+        n_e = min(chunk_epochs, cfg.epoch - done)
+        params, opt_state, hist = run_chunk(params, opt_state,
+                                            jnp.asarray(done), n_e)
+        history.append(jax.device_get(hist))
+        done += n_e
+    import numpy as np
+
+    return params, np.concatenate(history, axis=0).T  # [S, epochs]
+
+
+def ensemble_replica(params, i):
+    """Extract replica i's parameter pytree from a vmapped ensemble."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[i], params)
+
+
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
                          chunk_epochs: int = 200, seed: int = 0):
     """Train the reference's alpha sweep axis (serial Python loop at
