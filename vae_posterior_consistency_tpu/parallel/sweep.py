@@ -22,12 +22,12 @@ from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE, make_train
 from vae_posterior_consistency_tpu.models import get_model
 
 
-def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200):
-    """Train len(seeds) independent replicas of the same config in one program.
-
-    Returns (ensemble_params, loss_history [n_seeds, epochs]). Each replica
-    gets its own init and its own shuffling/mask PRNG stream.
-    """
+def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds):
+    """Compile the n_seeds-replica chunk runner; returns
+    (run_chunk, params, opt_state). run_chunk(params, opt_state, epoch0,
+    n_epochs) -> (params, opt_state, losses [n_epochs, n_seeds]).
+    Exposed separately so benchmarks can time/cost-analyze the compiled
+    program directly (bench.py ensemble regime)."""
     model = get_model(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
     n_seeds = len(seeds)
@@ -85,6 +85,17 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200)
         )
         return params, opt_state, hist
 
+    return run_chunk, params, opt_state
+
+
+def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200):
+    """Train len(seeds) independent replicas of the same config in one program.
+
+    Returns (ensemble_params, loss_history [n_seeds, epochs]). Each replica
+    gets its own init and its own shuffling/mask PRNG stream.
+    """
+    run_chunk, params, opt_state = build_seed_ensemble_runner(dataset, cfg,
+                                                              seeds)
     history = []
     done = 0
     while done < cfg.epoch:
