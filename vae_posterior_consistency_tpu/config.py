@@ -263,7 +263,21 @@ def resolve_mesh(cfg: "RunConfig"):
 
 def apply_rng_impl(cfg: "RunConfig") -> None:
     """Install the run's PRNG implementation as the jax default (see
-    RunConfig.rng_impl). Call once per process before any key use."""
+    RunConfig.rng_impl), and the persistent compilation cache. Called once
+    per process by every entry point before any key use."""
+    import os
+
     import jax
 
     jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+    # persistent compile cache: the suite's ~40 distinct programs compile
+    # once per host instead of once per process (through the TPU tunnel a
+    # single compile is tens of seconds; run.sh spawns three processes)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("VPC_COMPILE_CACHE", "/tmp/vpc_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache

@@ -191,19 +191,35 @@ def _bwd(res, cts):
 fused_posterior.defvjp(_fwd, _bwd)
 
 
-#: measured crossover on TPU v5e: below this many statistic elements, XLA's own
-#: elementwise fusion of the jnp path beats paying a separate Pallas kernel
-#: launch (bench.py: 246k samples/s jnp vs 218k samples/s pallas at B=64,L=10);
-#: the kernel wins once blocks are large enough to amortize the call boundary.
+#: retained for API compatibility; see fused_posterior_auto for the round-2
+#: measurement that retired the size-based dispatch.
 PALLAS_MIN_ELEMS = 64 * 1024
 
 
 def fused_posterior_auto(mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p):
-    """Dispatch: the Pallas kernel on TPU for large blocks; the identical-math
-    jnp path (one XLA fusion) for small blocks and non-TPU backends.
-    (Interpret-mode Pallas is only used by the kernel's own tests — it is much
-    slower than XLA on CPU.)"""
-    if _on_tpu() and mean_q.size >= PALLAS_MIN_ELEMS:
-        return fused_posterior(mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p)
+    """Dispatch point for the posterior tail. MEASURED OUTCOME (round 2,
+    TPU v5e, tools/bench_fused.py with the dispatch RTT amortized over a
+    200-iteration in-program scan — raw per-call timing through the tunnel
+    is ~27 ms of RTT and meaningless): XLA's automatic fusion of the jnp
+    path beats the hand kernel at EVERY shape, and decisively at ensemble
+    scale —
+
+        rows x 10   pallas/step   xla/step   pallas speedup
+             64        141 us       137 us       0.97x
+           1024        144 us       133 us       0.93x
+           6554        186 us       180 us       0.97x   (>= old MIN_ELEMS)
+           8192        173 us       132 us       0.76x
+          65536       1068 us       158 us       0.15x
+
+    This tail is memory-light elementwise math: XLA fuses it into one VPU
+    pass with a parallel reduction, while the kernel's sequential row-grid +
+    SMEM scalar accumulation serializes block-to-block. A hand kernel cannot
+    beat the compiler here and loses headroom at scale, so the auto path now
+    ALWAYS uses the XLA fusion (identical math/outputs). The Pallas kernel +
+    closed-form VJP remain callable directly (`fused_posterior`), validated
+    on hardware and pinned by tests/test_fused_posterior.py, as the
+    infrastructure template for kernels where manual fusion CAN win
+    (matmul-boundary fusions, which this workload's 30k-param MLPs are too
+    small to profit from)."""
     return fused_posterior_reference(mean_q, logvar_q, mean_p, logvar_p,
                                      eps_q, eps_p)
