@@ -70,6 +70,8 @@ def run_suite_ensembles(records, missing, alpha):
     per-config checkpoints and run the (single-dispatch) evals — the
     reference's serial 39-record loop (imputation.py:21-25) becomes ~13
     compiled ensembles."""
+    import time as _time
+
     import jax as _jax
 
     from vae_posterior_consistency_tpu.engine import checkpoint
@@ -90,8 +92,12 @@ def run_suite_ensembles(records, missing, alpha):
         ]
         names = [c.vae_type for c in cfgs]
         print(f"=== ensemble train {names} (missing={missing}, "
-              f"alpha={alpha}) ===")
+              f"alpha={alpha}) ===", flush=True)
+        t0 = _time.perf_counter()
         params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0])
+        _jax.block_until_ready(_hist)
+        t_train = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         for i, cfg in enumerate(cfgs):
             p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
             checkpoint.save(p_i, checkpoint.checkpoint_path(cfg, "experiments"))
@@ -99,6 +105,9 @@ def run_suite_ensembles(records, missing, alpha):
             for stage, metrics in results.items():
                 print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
                     f"{k}={v:.5f}" for k, v in metrics.items()))
+        t_eval = _time.perf_counter() - t0
+        print(f"  [timing] train {t_train:.1f}s  eval+save {t_eval:.1f}s",
+              flush=True)
 
 
 def main():

@@ -1,11 +1,31 @@
-"""Sweep parallelism: vmap whole training runs over seeds / data splits.
+"""Sweep parallelism: vmap whole training runs over seeds / splits / alphas.
 
 The reference runs its (3 data splits) x (alpha) x (missing-rate) sweep as
 serial Python loops (reference: src/experiment_main/imputation.py:21-25).
-Here a whole axis of the sweep trains simultaneously: `vmap` over an ensemble
-axis of parameter pytrees turns N independent runs into one batched XLA
-program whose matmuls stack on the MXU (and which can additionally be
-dp-sharded across chips).
+Here a whole axis of the sweep trains simultaneously: an ensemble of N
+independent runs becomes ONE batched XLA program whose matmuls stack on the
+MXU.
+
+Design (round 2): all three ensemble axes share one runner built exactly like
+the serial engine's hot loop (engine/train.py:_build_epoch_runner) — the
+ensemble's parameters live as a single [S, P] flat matrix so the Adam update
+is ONE fused elementwise kernel for the whole ensemble (Adam is elementwise,
+so updating the stacked matrix is bitwise-identical to S separate updates),
+the backward pass is one summed-loss autodiff whose per-replica gradients
+land in the [S, P] rows, and the per-epoch gathers/key-derivations are
+hoisted out of the step scan. The first version of this module vmapped
+pytree-Adam per replica; at the suite's tiny shapes that ran ~4x slower than
+the serial flat runner per replica — per-leaf kernel overhead, not FLOPs.
+
+Key-stream semantics per axis (unchanged from the vmapped version):
+- seed ensemble:  every replica has its own shuffle order and mask/model
+  streams (fully independent runs).
+- split ensemble: replicas hold DIFFERENT datasets (the vae_type digit axis,
+  reference loop at src/experiment_main/imputation.py:21-22), so one shared
+  shuffle order couples nothing; mask/model keys are per-replica.
+- alpha ensemble: replicas share data, shuffle order, AND mask/model streams
+  — isolating the effect of alpha, which is what the sweep studies
+  (reference loop: src/experiment_main/imputation.py:24).
 """
 
 from __future__ import annotations
@@ -18,102 +38,209 @@ import jax.numpy as jnp
 import optax
 
 from vae_posterior_consistency_tpu.config import RunConfig
-from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE, make_train_step
+from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE
 from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.ops import masks as masks_ops
+
+
+def _flat_ensemble_init(model, cfg, obs_dim, init_keys):
+    """[S, P] stacked flat params + the unravel back to one replica's pytree."""
+    from jax.flatten_util import ravel_pytree
+
+    template = model.init(jax.random.PRNGKey(0), cfg, obs_dim)
+    _, unravel = ravel_pytree(template)
+
+    def init_flat(k):
+        return ravel_pytree(model.init(k, cfg, obs_dim))[0]
+
+    return jax.vmap(init_flat)(init_keys), unravel
+
+
+def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
+                         mode: str, S: int, seeds=None, alphas=None):
+    """Compile the ensemble chunk runner.
+
+    data/mask: [S, n, D] stacked per-replica tables when mode == 'split',
+    else one shared [n, D] table. Returns run_chunk(Pmat [S,P], opt_state,
+    epoch0, n_epochs) -> (Pmat, opt_state, hist [n_epochs, S]).
+    """
+    info = cfg.info
+    tx = optax.adam(LEARNING_RATE)
+    per_replica_data = mode == "split"
+    n = data.shape[1] if per_replica_data else data.shape[0]
+    obs_dim = data.shape[-1]
+    bsz = min(cfg.batch_size, n)
+    steps = math.ceil(n / bsz)
+    pad = steps * bsz - n
+    use_alpha = alphas is not None
+    shared_streams = mode == "alpha"
+
+    def replica_loss(pf, x_b, m_b, mp_b, k_model, epoch, alpha):
+        c = cfg.replace(alpha=alpha) if use_alpha else cfg
+        return model.train_loss(unravel(pf), x_b, m_b, mp_b, k_model, epoch,
+                                c)[0]
+
+    # vmap in_axes: batch/mask/keys are per-replica except in alpha mode,
+    # where replicas deliberately share every stream but alpha itself
+    ax = 0 if not shared_streams else None
+    loss_axes = (0, ax, ax, ax, ax, None, 0 if use_alpha else None)
+
+    def total_loss(Pmat, x_b, m_b, mp_b, k_models, epoch, alpha_v):
+        per = jax.vmap(replica_loss, loss_axes)(Pmat, x_b, m_b, mp_b,
+                                                k_models, epoch, alpha_v)
+        return jnp.sum(per), per
+
+    grad_fn = jax.value_and_grad(total_loss, has_aux=True)
+
+    def make_masks(k_mask, m_b):
+        """(eff_mask, mask_p) for one replica's batch — same dispatch as the
+        serial step (engine/train.py:make_train_step)."""
+        if info.regularized:
+            return m_b, masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
+        if info.with_drop:
+            return m_b * masks_ops.eddi_drop_mask(k_mask, m_b.shape), \
+                jnp.ones_like(m_b)
+        return m_b, jnp.ones_like(m_b)
+
+    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
+    def run_chunk(Pmat, opt_state, epoch0, n_epochs):
+        def epoch_body(carry, off):
+            Pmat, opt_state = carry
+            epoch = (epoch0 + off).astype(jnp.float32) + 1.0
+
+            def padded(perm):
+                return jnp.concatenate([perm, perm[:pad]]) if pad else perm
+
+            if mode == "seed":
+                # fully independent replicas: own shuffle + own step streams
+                ekeys = jax.vmap(
+                    lambda s: jax.random.fold_in(jax.random.PRNGKey(s),
+                                                 epoch0 + off))(seeds)
+                kperms, ksteps = jax.vmap(jax.random.split, out_axes=1)(ekeys)
+                perms = jax.vmap(
+                    lambda k: padded(jax.random.permutation(k, n)))(kperms)
+                x_epoch = jnp.take(data, perms, axis=0)    # [S, n+pad, D]
+                m_epoch = jnp.take(mask, perms, axis=0)
+                step_keys = jax.vmap(jax.vmap(
+                    lambda k, s: jax.random.split(jax.random.fold_in(k, s)),
+                    (None, 0)), (0, None))(ksteps, jnp.arange(steps))
+                # [S, steps, 2, 2] -> [steps, S, 2, 2]
+                step_keys = jnp.swapaxes(step_keys, 0, 1)
+            else:
+                tag = 13 if mode == "split" else 7
+                ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + tag),
+                                          epoch0 + off)
+                kperm, kstep = jax.random.split(ekey)
+                perm = padded(jax.random.permutation(kperm, n))
+                if per_replica_data:
+                    x_epoch = jnp.take(data, perm, axis=1)  # [S, n+pad, D]
+                    m_epoch = jnp.take(mask, perm, axis=1)
+                else:
+                    x_epoch = jnp.take(data, perm, axis=0)  # [n+pad, D]
+                    m_epoch = jnp.take(mask, perm, axis=0)
+                base = jax.vmap(
+                    lambda s: jax.random.fold_in(kstep, s))(jnp.arange(steps))
+                if shared_streams:
+                    step_keys = jax.vmap(jax.random.split)(base)  # [steps,2,2]
+                else:
+                    step_keys = jax.vmap(jax.vmap(
+                        jax.random.split), (0,))(jax.vmap(
+                            jax.vmap(jax.random.fold_in, (None, 0)),
+                            (0, None))(base, jnp.arange(S)))
+                    # [steps, S, 2, 2]
+
+            def step_body(carry2, inputs):
+                Pmat, opt_state = carry2
+                s, kp = inputs
+
+                def slice_rows(arr):
+                    if arr.ndim == 3:  # [S, n+pad, D]
+                        return jax.lax.dynamic_slice(
+                            arr, (0, s * bsz, 0), (S, bsz, obs_dim))
+                    return jax.lax.dynamic_slice(
+                        arr, (s * bsz, 0), (bsz, obs_dim))
+
+                x_b = slice_rows(x_epoch)
+                m_b = slice_rows(m_epoch)
+                if shared_streams:
+                    k_mask, k_model = kp[0], kp[1]
+                    eff_m, mask_p = make_masks(k_mask, m_b)
+                else:  # seed/split: per-replica streams
+                    k_mask, k_model = kp[:, 0], kp[:, 1]        # [S, 2] each
+                    eff_m, mask_p = jax.vmap(make_masks)(k_mask, m_b)
+                (tot, per), grads = grad_fn(Pmat, x_b, eff_m, mask_p,
+                                            k_model, epoch, alphas)
+                updates, opt_state = tx.update(grads, opt_state, Pmat)
+                Pmat = optax.apply_updates(Pmat, updates)
+                return (Pmat, opt_state), per
+
+            (Pmat, opt_state), losses = jax.lax.scan(
+                step_body, (Pmat, opt_state),
+                (jnp.arange(steps), step_keys), unroll=min(8, steps))
+            return (Pmat, opt_state), jnp.sum(losses, axis=0)  # [S]
+
+        (Pmat, opt_state), hist = jax.lax.scan(epoch_body, (Pmat, opt_state),
+                                               jnp.arange(n_epochs))
+        return Pmat, opt_state, hist
+
+    return run_chunk
+
+
+def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs):
+    import numpy as np
+
+    history, done = [], 0
+    while done < epochs:
+        n_e = min(chunk_epochs, epochs - done)
+        Pmat, opt_state, hist = run_chunk(Pmat, opt_state, jnp.asarray(done),
+                                          n_e)
+        history.append(jax.device_get(hist))
+        done += n_e
+    return Pmat, np.concatenate(history, axis=0).T  # [S, epochs]
 
 
 def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds):
     """Compile the n_seeds-replica chunk runner; returns
-    (run_chunk, params, opt_state). run_chunk(params, opt_state, epoch0,
-    n_epochs) -> (params, opt_state, losses [n_epochs, n_seeds]).
-    Exposed separately so benchmarks can time/cost-analyze the compiled
-    program directly (bench.py ensemble regime)."""
+    (run_chunk, Pmat, opt_state) with Pmat the [S, P] flat ensemble.
+    run_chunk(Pmat, opt_state, epoch0, n_epochs) -> (Pmat, opt_state,
+    losses [n_epochs, n_seeds]). Exposed separately so benchmarks can
+    time/cost-analyze the compiled program directly (bench.py ensemble
+    regime)."""
     model = get_model(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
-    n_seeds = len(seeds)
-    init_keys = jax.vmap(lambda s: jax.random.PRNGKey(s))(seeds)
-    params = jax.vmap(lambda k: model.init(k, cfg, dataset.obs_dim))(init_keys)
-
+    init_keys = jax.vmap(jax.random.PRNGKey)(seeds)
+    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
+                                        init_keys)
+    run_chunk = _make_ensemble_chunk(
+        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        mode="seed", S=len(seeds), seeds=seeds)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = jax.vmap(tx.init)(params)
-    step_fn, _ = make_train_step(cfg, model)
-
-    data, mask = dataset.train.x, dataset.train.mask
-    n = data.shape[0]
-    bsz = min(cfg.batch_size, n)
-    steps = math.ceil(n / bsz)
-    pad = steps * bsz - n
-
-    def one_epoch(params, opt_state, key, epoch):
-        kperm, kstep = jax.random.split(key)
-        perm = jax.random.permutation(kperm, n)
-        if pad:
-            perm = jnp.concatenate([perm, perm[:pad]])
-
-        def body(carry, s):
-            params, opt_state = carry
-            idx = jax.lax.dynamic_slice(perm, (s * bsz,), (bsz,))
-            x_b = jnp.take(data, idx, axis=0)
-            m_b = jnp.take(mask, idx, axis=0)
-            params, opt_state, loss = step_fn(
-                params, opt_state, x_b, m_b, jax.random.fold_in(kstep, s),
-                epoch + 1.0,
-            )
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), jnp.arange(steps)
-        )
-        return params, opt_state, jnp.sum(losses)
-
-    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, epoch0, n_epochs):
-        def epoch_body(carry, off):
-            params, opt_state = carry
-            epoch = (epoch0 + off).astype(jnp.float32)
-
-            def per_seed(p, o, s):
-                ekey = jax.random.fold_in(jax.random.PRNGKey(s), epoch0 + off)
-                return one_epoch(p, o, ekey, epoch)
-
-            params, opt_state, losses = jax.vmap(per_seed)(params, opt_state,
-                                                           seeds)
-            return (params, opt_state), losses
-
-        (params, opt_state), hist = jax.lax.scan(
-            epoch_body, (params, opt_state), jnp.arange(n_epochs)
-        )
-        return params, opt_state, hist
-
-    return run_chunk, params, opt_state
+    return run_chunk, Pmat, tx.init(Pmat)
 
 
 def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200):
     """Train len(seeds) independent replicas of the same config in one program.
 
-    Returns (ensemble_params, loss_history [n_seeds, epochs]). Each replica
-    gets its own init and its own shuffling/mask PRNG stream.
+    Returns (ensemble_params pytree [S, ...], loss_history [n_seeds, epochs]).
+    Each replica gets its own init and its own shuffling/mask PRNG stream.
     """
-    run_chunk, params, opt_state = build_seed_ensemble_runner(dataset, cfg,
-                                                              seeds)
-    history = []
-    done = 0
-    while done < cfg.epoch:
-        n_e = min(chunk_epochs, cfg.epoch - done)
-        params, opt_state, hist = run_chunk(params, opt_state,
-                                            jnp.asarray(done), n_e)
-        history.append(jax.device_get(hist))
-        done += n_e
-    import numpy as np
+    model = get_model(cfg)
+    run_chunk, Pmat, opt_state = build_seed_ensemble_runner(dataset, cfg,
+                                                            seeds)
+    from jax.flatten_util import ravel_pytree
 
-    return params, np.concatenate(history, axis=0).T  # [n_seeds, epochs]
+    _, unravel = ravel_pytree(model.init(jax.random.PRNGKey(0), cfg,
+                                         dataset.obs_dim))
+    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
+                              chunk_epochs)
+    return jax.vmap(unravel)(Pmat), hist
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200):
     """Train one replica per DATA SPLIT of the same model family in a single
     batched program — the reference's `vae_type` digit axis
-    (reg_vae1/2/3, ... — serial records in Data/imputation_args.json,
-    reference loop: src/experiment_main/imputation.py:21-22).
+    (reg_vae1/2/3, serial records in Data/imputation_args.json, reference
+    loop: src/experiment_main/imputation.py:21-22).
 
     Each replica gets its own (x, mask) tables (stacked: splits of one UCI
     table share shapes), its own init, and its own mask_p/model key streams;
@@ -127,77 +254,22 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200):
     S = len(datasets)
     xs = jnp.stack([d.train.x for d in datasets])  # [S, n, D]
     ms = jnp.stack([d.train.mask for d in datasets])
-    n = xs.shape[1]
-    bsz = min(cfg.batch_size, n)
-    steps = math.ceil(n / bsz)
-    pad = steps * bsz - n
-    obs_dim = xs.shape[2]
-
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.PRNGKey(cfg.seed), jnp.arange(S))
-    params = jax.vmap(lambda k: model.init(k, cfg, obs_dim))(init_keys)
+    Pmat, unravel = _flat_ensemble_init(model, cfg, xs.shape[2], init_keys)
+    run_chunk = _make_ensemble_chunk(cfg, model, unravel, xs, ms,
+                                     mode="split", S=S)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = jax.vmap(tx.init)(params)
-    step_fn, _ = make_train_step(cfg, model)
-
-    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, epoch0, n_epochs):
-        def epoch_body(carry, off):
-            params, opt_state = carry
-            epoch = (epoch0 + off).astype(jnp.float32) + 1.0
-            ekey = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 13),
-                                      epoch0 + off)
-            kperm, kstep = jax.random.split(ekey)
-            perm = jax.random.permutation(kperm, n)
-            if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])
-            x_epoch = jnp.take(xs, perm, axis=1)  # [S, n+pad, D]
-            m_epoch = jnp.take(ms, perm, axis=1)
-
-            def body(carry2, s):
-                params, opt_state = carry2
-                x_b = jax.lax.dynamic_slice(
-                    x_epoch, (0, s * bsz, 0), (S, bsz, obs_dim))
-                m_b = jax.lax.dynamic_slice(
-                    m_epoch, (0, s * bsz, 0), (S, bsz, obs_dim))
-                rkeys = jax.vmap(jax.random.fold_in, (None, 0))(
-                    jax.random.fold_in(kstep, s), jnp.arange(S))
-                params, opt_state, loss = jax.vmap(
-                    step_fn, (0, 0, 0, 0, 0, None)
-                )(params, opt_state, x_b, m_b, rkeys, epoch)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(steps))
-            return (params, opt_state), jnp.sum(losses, axis=0)
-
-        (params, opt_state), hist = jax.lax.scan(
-            epoch_body, (params, opt_state), jnp.arange(n_epochs))
-        return params, opt_state, hist
-
-    history = []
-    done = 0
-    while done < cfg.epoch:
-        n_e = min(chunk_epochs, cfg.epoch - done)
-        params, opt_state, hist = run_chunk(params, opt_state,
-                                            jnp.asarray(done), n_e)
-        history.append(jax.device_get(hist))
-        done += n_e
-    import numpy as np
-
-    return params, np.concatenate(history, axis=0).T  # [S, epochs]
-
-
-def ensemble_replica(params, i):
-    """Extract replica i's parameter pytree from a vmapped ensemble."""
-    return jax.tree_util.tree_map(lambda leaf: leaf[i], params)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, tx.init(Pmat), cfg.epoch,
+                              chunk_epochs)
+    return jax.vmap(unravel)(Pmat), hist
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
                          chunk_epochs: int = 200, seed: int = 0):
     """Train the reference's alpha sweep axis (serial Python loop at
     src/experiment_main/imputation.py:24) as ONE batched program: a replica
-    per regularization strength, vmapped over (params, opt_state, alpha).
+    per regularization strength.
 
     alpha enters every family's composite loss purely arithmetically
     (e.g. models/gauss.py:177), so a traced per-replica scalar substitutes
@@ -207,80 +279,21 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     """
     model = get_model(cfg)
     alphas = jnp.asarray(alphas, jnp.float32)
-    n_alphas = len(alphas)
+    S = len(alphas)
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        jax.random.PRNGKey(seed), jnp.arange(n_alphas))
-    params = jax.vmap(lambda k: model.init(k, cfg, dataset.obs_dim))(init_keys)
-
+        jax.random.PRNGKey(seed), jnp.arange(S))
+    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
+                                        init_keys)
+    cfg_seeded = cfg.replace(seed=seed)
+    run_chunk = _make_ensemble_chunk(
+        cfg_seeded, model, unravel, dataset.train.x, dataset.train.mask,
+        mode="alpha", S=S, alphas=alphas)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = jax.vmap(tx.init)(params)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, tx.init(Pmat), cfg.epoch,
+                              chunk_epochs)
+    return jax.vmap(unravel)(Pmat), hist
 
-    data, mask = dataset.train.x, dataset.train.mask
-    n = data.shape[0]
-    bsz = min(cfg.batch_size, n)
-    steps = math.ceil(n / bsz)
-    pad = steps * bsz - n
-    info = cfg.info
 
-    from vae_posterior_consistency_tpu.ops import masks as masks_ops
-
-    def step_fn(params, opt_state, alpha, x_b, m_b, key, epoch):
-        k_mask, k_model = jax.random.split(key)
-        if info.regularized:
-            mask_p = masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
-        else:
-            mask_p = jnp.ones_like(m_b)
-
-        def loss_fn(p):
-            return model.train_loss(p, x_b, m_b, mask_p, k_model, epoch,
-                                    cfg.replace(alpha=alpha))
-
-        (loss, _aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
-    def run_chunk(params, opt_state, epoch0, n_epochs):
-        def epoch_body(carry, off):
-            params, opt_state = carry
-            epoch = (epoch0 + off).astype(jnp.float32) + 1.0
-            ekey = jax.random.fold_in(jax.random.PRNGKey(seed + 7),
-                                      epoch0 + off)
-            kperm, kstep = jax.random.split(ekey)
-            perm = jax.random.permutation(kperm, n)
-            if pad:
-                perm = jnp.concatenate([perm, perm[:pad]])
-            x_epoch = jnp.take(data, perm, axis=0)
-            m_epoch = jnp.take(mask, perm, axis=0)
-
-            def body(carry2, s):
-                params, opt_state = carry2
-                x_b = jax.lax.dynamic_slice(
-                    x_epoch, (s * bsz, 0), (bsz, x_epoch.shape[1]))
-                m_b = jax.lax.dynamic_slice(
-                    m_epoch, (s * bsz, 0), (bsz, m_epoch.shape[1]))
-                skey = jax.random.fold_in(kstep, s)
-                params, opt_state, loss = jax.vmap(
-                    step_fn, (0, 0, 0, None, None, None, None)
-                )(params, opt_state, alphas, x_b, m_b, skey, epoch)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jnp.arange(steps))
-            return (params, opt_state), jnp.sum(losses, axis=0)
-
-        (params, opt_state), hist = jax.lax.scan(
-            epoch_body, (params, opt_state), jnp.arange(n_epochs))
-        return params, opt_state, hist
-
-    history = []
-    done = 0
-    while done < cfg.epoch:
-        n_e = min(chunk_epochs, cfg.epoch - done)
-        params, opt_state, hist = run_chunk(params, opt_state,
-                                            jnp.asarray(done), n_e)
-        history.append(jax.device_get(hist))
-        done += n_e
-    import numpy as np
-
-    return params, np.concatenate(history, axis=0).T  # [n_alphas, epochs]
+def ensemble_replica(params, i):
+    """Extract replica i's parameter pytree from a vmapped ensemble."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[i], params)
