@@ -76,6 +76,42 @@ def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
     return n_timed * batch / best
 
 
+def miwae_eval_rate(batch, k, reps=3, inner=100):
+    """Device rows/sec of the jitted MIWAE eval_step (K importance samples):
+    `inner` eval steps with distinct keys run inside ONE program (lax.map),
+    so the per-dispatch RTT (~28 ms through the tunnel, dominated by the
+    result readback) is amortized away and the number is device throughput.
+
+    Measurement hygiene (axon tunnel): fresh PRNG key per timing rep —
+    identical-args reruns are deduped client-side and read ~0.1 ms; and the
+    warmup ends with a real readback, because block_until_ready can return
+    early while the compile is still in flight (CLAUDE.md "axon quirks")."""
+    cfg = RunConfig(vae_type="vanilla_MIWAE1", valid_k=k)
+    model = get_model(cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, OBS_DIM)), jnp.float32)
+    m = jnp.asarray(rng.random((batch, OBS_DIM)) < 0.7, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), cfg, OBS_DIM)
+
+    @jax.jit
+    def ev(params, key):
+        def one(k_i):
+            out = model.eval_step(params, x, m, m, k_i, cfg, num_samples=k)
+            return out["x_imputed"].sum() + out["row_loss"].sum()
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(inner))
+        return jnp.sum(jax.lax.map(one, keys))
+
+    float(ev(params, jax.random.PRNGKey(99)))  # compile; readback = sync
+    best = 1e9
+    for r in range(reps):
+        t0 = time.perf_counter()
+        s = ev(params, jax.random.PRNGKey(r))
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    return inner * batch / best
+
+
 def main():
     device = str(jax.devices()[0])
 
@@ -100,6 +136,17 @@ def main():
     for k in (20, 200, 1000, 5000):
         record("miwae_iwae", RunConfig(vae_type="vanilla_MIWAE1", train_k=k),
                64, k, max(50, 20000 // k))
+    # MIWAE evaluation throughput at the reference's valid_k
+    for batch in (64, 512):
+        try:
+            rps = miwae_eval_rate(batch, 5000)
+            print(json.dumps({"model": "miwae_eval", "batch": batch,
+                              "iw_samples": 5000,
+                              "rows_per_sec": round(rps),
+                              "device": device}), flush=True)
+        except Exception as e:
+            print(json.dumps({"model": "miwae_eval", "batch": batch,
+                              "error": str(e)[:120]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,15 @@ Deliberate deviations from reference quirks (documented intent, SURVEY.md §7):
   (VAE.py:3078-3081) silently transposes/scrambles the axes whenever K != B.
 - As in the reference, the bound omits the -log K normalizer
   (VAE.py:3092) — kept for artifact parity (constant offset).
+
+Layout note (round-2 measurement): a hand-written K-last ([B, D, K]) variant
+of the whole sample path — motivated by the (8,128) tile padding a [B, K, D]
+D~12 tabular layout implies — measured only +7% at batch 64 / +1% at batch
+512 for eval at K=5000 on v5e (tools/bench_scaling.py:miwae_eval_rate, 45k ->
+48k and 55k -> 56k rows/s). XLA's own layout assignment already handles the
+minor-dim choice; the step is VPU-bound on the Student-t transcendentals
+(two gammaln per element), not on padded bandwidth. The variant was therefore
+dropped — same verdict as the Pallas posterior kernel (ops/fused_posterior.py).
 """
 
 from __future__ import annotations
