@@ -12,6 +12,7 @@ Run:  PYTHONPATH=. python3 experiment_main/active_learning.py [-vae_type ...]
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,7 +58,8 @@ def main():
                     cfg.data_path, cfg.vae_type, cfg.missing_rate,
                     cfg.batch_size, cfg.data_type,
                 )
-                print(f"=== active learning {cfg.vae_type} ===")
+                print(f"=== active learning {cfg.vae_type} ===", flush=True)
+                t0 = time.perf_counter()
                 out = al_engine.active_learning_func(
                     None, np.asarray(ds.test.x), np.asarray(ds.test.mask),
                     cfg, Repeat=1
@@ -65,6 +67,8 @@ def main():
                 curve = np.asarray(out["information_curve"])[0, 0, :]
                 print("  info curve (target MSE per #revealed): "
                       + " ".join(f"{v:.4f}" for v in curve))
+                print(f"  [timing] episode {time.perf_counter() - t0:.1f}s",
+                      flush=True)
 
 
 if __name__ == "__main__":

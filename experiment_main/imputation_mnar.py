@@ -11,6 +11,7 @@ Run:  PYTHONPATH=. python3 experiment_main/imputation_mnar.py [-vae_type ...]
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -72,7 +73,8 @@ def main():
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
-                      f"alpha={alpha}){tag} ===")
+                      f"alpha={alpha}){tag} ===", flush=True)
+                t0 = time.perf_counter()
                 params = None
                 if mesh is not None:
                     from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
@@ -86,11 +88,15 @@ def main():
                 else:
                     train_engine.train(dataset, cfg,
                                        log_fn=epoch_logger(cfg.epoch))
-                print(f"=== eval {cfg.vae_type} (MNAR) ===")
+                t_train = time.perf_counter() - t0
+                print(f"=== eval {cfg.vae_type} (MNAR) ===", flush=True)
+                t0 = time.perf_counter()
                 rmse = eval_engine.eval_vae_mnar(
                     dataset.train.x, dataset.train.mask, cfg, params=params
                 )
                 print(f"  rmse={rmse:.5f}")
+                print(f"  [timing] train {t_train:.1f}s  "
+                      f"eval {time.perf_counter() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
