@@ -81,6 +81,11 @@ def _impute_samples(model, params, cfg, x, mask, mask_p, key, M):
     return jax.vmap(one)(jax.random.split(key, M))
 
 
+#: process-level cache of compiled AL episode programs (see
+#: engine/train._RUNNER_CACHE for the digit-stripping rationale)
+_AL_CACHE: dict = {}
+
+
 def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int):
     """Compile the full selection loop for one Repeat:
     (params, x, mask_p, key) -> artifact dict."""
@@ -214,7 +219,23 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
         params = load_trained(ds, cfg, experiments_root)
     key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
 
-    runner = make_al_runner(cfg, model, D, n_test)
+    # episode programs are shared across split-digit siblings (the digit only
+    # selects data files — engine/train._RUNNER_CACHE has the rationale)
+    from vae_posterior_consistency_tpu.engine.train import _program_cache_key
+
+    al_key = _program_cache_key(cfg, n_test, D)
+    run_all = _AL_CACHE.get(al_key)
+    if run_all is None:
+        runner = make_al_runner(cfg, model, D, n_test)
+
+        @jax.jit
+        def run_all(params, x, mask_ps, run_keys):
+            return jax.lax.map(
+                lambda mk: runner(params, x, mk[0], mk[1]),
+                (mask_ps, run_keys)
+            )
+
+        _AL_CACHE[al_key] = run_all
     # derive every repeat's keys/mask_p up front (same streams as the former
     # per-repeat dispatch loop), then run ALL repeats inside one program —
     # a single host->device dispatch instead of `Repeat` (reference's loop:
@@ -227,12 +248,6 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
         lambda k: test_mask * masks.mcar_mask(k, test_mask.shape,
                                               cfg.p_missingness)
     )(kpairs[:, 0])
-
-    @jax.jit
-    def run_all(params, x, mask_ps, run_keys):
-        return jax.lax.map(
-            lambda mk: runner(params, x, mk[0], mk[1]), (mask_ps, run_keys)
-        )
 
     stacked = run_all(params, x, mask_ps, kpairs[:, 1])
     if save:

@@ -36,6 +36,13 @@ def _pad_batches(n: int, bsz: int):
     return steps, steps * bsz - n
 
 
+#: process-level cache of compiled split evaluators, keyed on the
+#: digit-stripped config + split size + sample count (the digit only selects
+#: data files — engine/train._RUNNER_CACHE has the full rationale). The
+#: reference grid's split triples then share one eval program per stage.
+_EVAL_CACHE: dict = {}
+
+
 def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
     """Compile: (params, x, mask, key) -> metrics dict aggregated over all
     cfg.M Monte-Carlo reps IN ONE PROGRAM.
@@ -48,6 +55,13 @@ def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
     dispatch over a tunneled TPU costs a full RTT; M=50 in most grid configs),
     with memory still bounded to one batch at large sample counts.
     """
+    from vae_posterior_consistency_tpu.engine.train import _program_cache_key
+
+    cache_key = _program_cache_key(cfg, n, 0) + (num_samples,)
+    cached = _EVAL_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+
     bsz = min(cfg.batch_size, n)
     steps, pad = _pad_batches(n, bsz)
 
@@ -89,6 +103,7 @@ def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
         per_rep = jax.lax.map(lambda k: one_rep(params, x, mask, k), keys)
         return jax.tree_util.tree_map(jnp.mean, per_rep)
 
+    _EVAL_CACHE[cache_key] = all_reps
     return all_reps
 
 

@@ -78,17 +78,45 @@ def make_train_step(cfg: RunConfig, model=None) -> tuple[Callable, "optax.Gradie
     return step, tx
 
 
+#: process-level cache of compiled chunk runners, keyed on the digit-stripped
+#: config + data shape: the vae_type digit only selects WHICH files load
+#: (config.parse_vae_type:split_index) — it never reaches traced code — so
+#: the reference's split triples (reg_vae1/2/3, ...) share ONE compiled
+#: program, with each split's (data, mask) passed as runtime arguments.
+#: This cuts the serial 39-config grid from 39 train programs to 13; through
+#: the tunneled TPU every distinct program costs a compile-service round
+#: (RESULTS.md "Wall-clock anatomy"), so program count is wall-clock.
+_RUNNER_CACHE: dict = {}
+
+
+def _program_cache_key(cfg: RunConfig, n: int, obs_dim: int):
+    import dataclasses as _dc
+
+    stripped = "".join(c for c in cfg.vae_type if not c.isdigit())
+    return _dc.astuple(cfg.replace(vae_type=stripped)) + (int(n), int(obs_dim))
+
+
 def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
                         model=None, template_params=None):
-    """Compile a (flat_params, opt_state, key, epoch0, n_epochs)-chunk runner.
+    """Build a (flat_params, opt_state, key, epoch0, n_epochs)-chunk runner.
 
     TPU optimization: inside the compiled loop, parameters live as ONE flat
     vector (`ravel_pytree`) so the Adam update is a single fused elementwise
     kernel instead of ~20 per-leaf ops — measured +26% step throughput on v5e
     at the flagship size. `unravel` inside the loss is reshape/slice views,
     free under XLA. The pytree layout remains the public API (checkpoints,
-    sharding) — see FlatRunner.to_tree/from_tree.
+    sharding) — see FlatRunner.to_tree/from_tree. Compiled programs are
+    shared across split-digit siblings via _RUNNER_CACHE.
     """
+    key_ = _program_cache_key(cfg, data.shape[0], data.shape[1])
+    cached = _RUNNER_CACHE.get(key_)
+    if cached is not None:
+        run_chunk, tx, unravel = cached
+        from jax.flatten_util import ravel_pytree as _rp
+
+        return FlatRunner(run_chunk, tx, lambda p: _rp(p)[0], unravel,
+                          data, mask)
+
     from jax.flatten_util import ravel_pytree
 
     model = model or get_model(cfg)
@@ -107,7 +135,7 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
         return model.train_loss(unravel(pf), x, m, mp, key, epoch, cfg)[0]
 
     @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
-    def run_chunk(pflat, opt_state, key, epoch0, n_epochs):
+    def run_chunk(pflat, opt_state, data, mask, key, epoch0, n_epochs):
         def epoch_body(carry, epoch_off):
             pflat, opt_state = carry
             epoch = epoch0 + epoch_off  # 0-based here; loss gets epoch+1
@@ -171,20 +199,27 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     def to_flat(params):
         return ravel_pytree(params)[0]
 
-    return FlatRunner(run_chunk, tx, to_flat, unravel)
+    _RUNNER_CACHE[key_] = (run_chunk, tx, unravel)
+    return FlatRunner(run_chunk, tx, to_flat, unravel, data, mask)
 
 
 class FlatRunner:
-    """Chunk runner over flat parameters with pytree conversion at the edges."""
+    """Chunk runner over flat parameters with pytree conversion at the edges.
 
-    def __init__(self, run_chunk, tx, to_flat, to_tree):
+    Holds this run's (data, mask) and feeds them to the shared compiled
+    chunk program as runtime arguments (see _RUNNER_CACHE)."""
+
+    def __init__(self, run_chunk, tx, to_flat, to_tree, data, mask):
         self.run_chunk = run_chunk
         self.tx = tx
         self.to_flat = to_flat
         self.to_tree = to_tree
+        self.data = data
+        self.mask = mask
 
     def __call__(self, pflat, opt_state, key, epoch0, n_epochs):
-        return self.run_chunk(pflat, opt_state, key, epoch0, n_epochs)
+        return self.run_chunk(pflat, opt_state, self.data, self.mask, key,
+                              epoch0, n_epochs)
 
 
 def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
