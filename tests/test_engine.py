@@ -172,3 +172,28 @@ def test_artifact_name_mangling_parity():
         "rest/reg_notMIWAE/reg_notMIWAE1_rmse_1.0_50_kl_reg_full_reg_"
         "large_batch_v2_test.pt"
     )
+
+
+def test_program_cache_shares_split_siblings(dataset):
+    """Split-digit siblings (reg_vae1/2/3) must reuse ONE compiled chunk
+    runner and ONE eval program; any traced-config change must miss."""
+    from vae_posterior_consistency_tpu.engine import evaluate as ev
+    from vae_posterior_consistency_tpu.engine import train as tr
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg1 = RunConfig(vae_type="reg_vae1", epoch=2, batch_size=16,
+                     latent_dim=4, M=1)
+    x, m = dataset.train.x, dataset.train.mask
+    r1 = tr._build_epoch_runner(cfg1, x, m)
+    r2 = tr._build_epoch_runner(cfg1.replace(vae_type="reg_vae2"), x, m)
+    assert r1.run_chunk is r2.run_chunk  # same compiled program
+    r3 = tr._build_epoch_runner(cfg1.replace(alpha=2.0), x, m)
+    assert r3.run_chunk is not r1.run_chunk  # alpha is traced -> new program
+
+    model = get_model(cfg1)
+    n = x.shape[0]
+    e1 = ev._split_eval_fn(cfg1, model, n, None)
+    e2 = ev._split_eval_fn(cfg1.replace(vae_type="reg_vae3"), model, n, None)
+    assert e1 is e2
+    e3 = ev._split_eval_fn(cfg1, model, n - 1, None)  # n is baked -> miss
+    assert e3 is not e1
