@@ -43,9 +43,21 @@ def _median_time(fn, reps=4):
     ts = []
     for r in range(reps + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(r))
+        out = fn(r)
+        _readback(out)  # block_until_ready alone can return early (axon)
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts[1:])
+
+
+def _readback(out):
+    """Force completion with a real device->host read (sums one scalar per
+    result dict; through the tunnel block_until_ready is not a reliable
+    barrier — CLAUDE.md 'axon timing quirks')."""
+    if isinstance(out, list):
+        for o in out:
+            _readback(o)
+    else:
+        float(out["rmse"])
 
 
 def main():
@@ -67,9 +79,10 @@ def main():
         return jax.vmap(lambda m: jax.random.fold_in(kr, m))(jnp.arange(M))
 
     # one-key variant: same engine, driven per-rep (the pre-batching design);
-    # a distinct compiled program (keys shape [1]) — warm both before timing
-    jax.block_until_ready(eval_fn(params, x, mask, key_set(1000)))
-    jax.block_until_ready(eval_fn(params, x, mask, key_set(1001)[:1]))
+    # a distinct compiled program (keys shape [1]) — warm both before timing,
+    # syncing via readback (compiles can outlive block_until_ready here)
+    _readback(eval_fn(params, x, mask, key_set(1000)))
+    _readback(eval_fn(params, x, mask, key_set(1001)[:1]))
 
     t_batched = _median_time(lambda r: eval_fn(params, x, mask, key_set(r)))
 
