@@ -294,3 +294,34 @@ def test_cli_ensemble_suite(tiny_dataset, tmp_path):
             assert os.path.exists(checkpoint.checkpoint_path(cfg, root))
             assert os.path.exists(
                 art.eval_vae_paths(cfg, "test", root)["rmse"])
+
+
+def test_seed_ensemble_sharded_matches_unsharded(tiny_dataset):
+    """Sharding the ensemble's [S, P] rows over the mesh's dp axis must not
+    change the training math: replicas are independent, so the dp-sharded
+    run reproduces the single-device ensemble trajectories."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32,
+                             "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=6,
+                    batch_size=32, latent_dim=4)
+    seeds = list(range(8))
+    p_ref, h_ref = sweep.train_seed_ensemble(ds, cfg, seeds)
+    m = meshlib.make_mesh(jax.devices()[:8], dp=8, tp=1)
+    p_sh, h_sh = sweep.train_seed_ensemble(ds, cfg, seeds, mesh=m)
+    np.testing.assert_allclose(h_sh, h_ref, rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_shard_ensemble_rejects_indivisible():
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    m = meshlib.make_mesh(jax.devices()[:8], dp=8, tp=1)
+    P = jnp.zeros((6, 10))
+    with pytest.raises(ValueError, match="not divisible"):
+        sweep.shard_ensemble(P, {"mu": jnp.zeros((6, 10))}, m)

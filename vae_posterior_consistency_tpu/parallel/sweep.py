@@ -199,13 +199,39 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs):
     return Pmat, np.concatenate(history, axis=0).T  # [S, epochs]
 
 
-def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds):
+def shard_ensemble(Pmat, opt_state, mesh):
+    """Lay an ensemble's [S, P] state out over the mesh's `dp` axis.
+
+    The flat-matrix design makes replica parallelism trivial: replicas are
+    rows, rows shard across chips, and because replicas never communicate
+    XLA partitions the whole chunk program with zero collectives. Shared
+    (data, mask) stay replicated. Requires S % dp == 0."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dp = mesh.shape["dp"]
+    S = Pmat.shape[0]
+    if S % dp != 0:
+        raise ValueError(f"ensemble size {S} not divisible by dp={dp}")
+
+    def shard(a):
+        spec = P(*(("dp",) + (None,) * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return shard(Pmat), jax.tree_util.tree_map(
+        lambda a: shard(a) if getattr(a, "ndim", 0) >= 1
+        and a.shape[:1] == (S,) else a,
+        opt_state,
+    )
+
+
+def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
     """Compile the n_seeds-replica chunk runner; returns
     (run_chunk, Pmat, opt_state) with Pmat the [S, P] flat ensemble.
     run_chunk(Pmat, opt_state, epoch0, n_epochs) -> (Pmat, opt_state,
     losses [n_epochs, n_seeds]). Exposed separately so benchmarks can
     time/cost-analyze the compiled program directly (bench.py ensemble
-    regime)."""
+    regime). With `mesh`, the replica axis shards over the mesh's `dp`
+    axis (see shard_ensemble)."""
     model = get_model(cfg)
     seeds = jnp.asarray(seeds, jnp.uint32)
     init_keys = jax.vmap(jax.random.PRNGKey)(seeds)
@@ -215,18 +241,24 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds):
         cfg, model, unravel, dataset.train.x, dataset.train.mask,
         mode="seed", S=len(seeds), seeds=seeds)
     tx = optax.adam(LEARNING_RATE)
-    return run_chunk, Pmat, tx.init(Pmat)
+    opt_state = tx.init(Pmat)
+    if mesh is not None:
+        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
+    return run_chunk, Pmat, opt_state
 
 
-def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200):
+def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
+                        mesh=None):
     """Train len(seeds) independent replicas of the same config in one program.
 
     Returns (ensemble_params pytree [S, ...], loss_history [n_seeds, epochs]).
     Each replica gets its own init and its own shuffling/mask PRNG stream.
+    With `mesh`, replicas shard across the mesh's `dp` axis (zero
+    collectives — replicas are independent; see shard_ensemble).
     """
     model = get_model(cfg)
     run_chunk, Pmat, opt_state = build_seed_ensemble_runner(dataset, cfg,
-                                                            seeds)
+                                                            seeds, mesh=mesh)
     from jax.flatten_util import ravel_pytree
 
     _, unravel = ravel_pytree(model.init(jax.random.PRNGKey(0), cfg,
@@ -236,7 +268,8 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200)
     return jax.vmap(unravel)(Pmat), hist
 
 
-def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200):
+def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
+                         mesh=None):
     """Train one replica per DATA SPLIT of the same model family in a single
     batched program — the reference's `vae_type` digit axis
     (reg_vae1/2/3, serial records in Data/imputation_args.json, reference
@@ -260,7 +293,12 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200):
     run_chunk = _make_ensemble_chunk(cfg, model, unravel, xs, ms,
                                      mode="split", S=S)
     tx = optax.adam(LEARNING_RATE)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, tx.init(Pmat), cfg.epoch,
+    opt_state = tx.init(Pmat)
+    if mesh is not None:
+        # state shards by replica row; the stacked (xs, ms) tables are traced
+        # constants whose layout XLA chooses to match the sharded program
+        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
     return jax.vmap(unravel)(Pmat), hist
 
