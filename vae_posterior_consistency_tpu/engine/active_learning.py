@@ -235,7 +235,9 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
                 (mask_ps, run_keys)
             )
 
-        _AL_CACHE[al_key] = run_all
+        from vae_posterior_consistency_tpu.engine.train import _cache_put
+
+        _cache_put(_AL_CACHE, al_key, run_all)
     # derive every repeat's keys/mask_p up front (same streams as the former
     # per-repeat dispatch loop), then run ALL repeats inside one program —
     # a single host->device dispatch instead of `Repeat` (reference's loop:

@@ -103,7 +103,9 @@ def _split_eval_fn(cfg: RunConfig, model, n: int, num_samples):
         per_rep = jax.lax.map(lambda k: one_rep(params, x, mask, k), keys)
         return jax.tree_util.tree_map(jnp.mean, per_rep)
 
-    _EVAL_CACHE[cache_key] = all_reps
+    from vae_posterior_consistency_tpu.engine.train import _cache_put
+
+    _cache_put(_EVAL_CACHE, cache_key, all_reps)
     return all_reps
 
 

@@ -88,6 +88,18 @@ def make_train_step(cfg: RunConfig, model=None) -> tuple[Callable, "optax.Gradie
 #: (RESULTS.md "Wall-clock anatomy"), so program count is wall-clock.
 _RUNNER_CACHE: dict = {}
 
+#: cap for the process-level program caches (the full reference grid needs
+#: ~26 entries; the cap only matters for long-lived processes sweeping many
+#: shapes). Eviction is insertion-order — oldest compiled program first.
+PROGRAM_CACHE_MAX = 128
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= PROGRAM_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+    return value
+
 
 def _program_cache_key(cfg: RunConfig, n: int, obs_dim: int):
     import dataclasses as _dc
@@ -199,7 +211,7 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     def to_flat(params):
         return ravel_pytree(params)[0]
 
-    _RUNNER_CACHE[key_] = (run_chunk, tx, unravel)
+    _cache_put(_RUNNER_CACHE, key_, (run_chunk, tx, unravel))
     return FlatRunner(run_chunk, tx, to_flat, unravel, data, mask)
 
 
