@@ -85,10 +85,13 @@ def main():
 
     # compile + warmup with the SAME static chunk size as the timed call
     # (a different n_epochs is a different compiled program — timing the first
-    # call of a shape would measure compilation, not the training loop)
+    # call of a shape would measure compilation, not the training loop).
+    # Sync via a real readback: through the tunneled TPU, block_until_ready
+    # can return early while the compile is still in flight, which once
+    # produced a nonsensical 8.8e9 samples/s reading (CLAUDE.md axon quirks)
     pflat, opt_state, losses = runner(pflat, opt_state, key,
                                       jnp.asarray(0), BENCH_EPOCHS)
-    jax.block_until_ready(losses)
+    float(losses[-1])
 
     best = None
     done = BENCH_EPOCHS
@@ -96,7 +99,7 @@ def main():
         t0 = time.perf_counter()
         pflat, opt_state, losses = runner(pflat, opt_state, key,
                                           jnp.asarray(done), BENCH_EPOCHS)
-        jax.block_until_ready(losses)
+        float(losses[-1])  # readback barrier (~0.03 s of RTT in ~6 s)
         dt = time.perf_counter() - t0
         done += BENCH_EPOCHS
         best = dt if best is None else min(best, dt)
@@ -155,13 +158,13 @@ def _bench_seed_ensemble(n_seeds: int, epochs: int = 20):
         ds, cfg, list(range(n_seeds)))
     params, opt_state, hist = run_chunk(params, opt_state, jnp.asarray(0),
                                         epochs)  # compile + warmup
-    jax.block_until_ready(hist)
+    float(hist[-1, 0])  # readback barrier (see main(): axon quirk)
     best, done = None, epochs
     for _ in range(3):
         t0 = _time.perf_counter()
         params, opt_state, hist = run_chunk(params, opt_state,
                                             jnp.asarray(done), epochs)
-        jax.block_until_ready(hist)
+        float(hist[-1, 0])
         dt = _time.perf_counter() - t0
         done += epochs
         best = dt if best is None else min(best, dt)
