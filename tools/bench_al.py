@@ -46,13 +46,15 @@ def main(n_test=490, obs_dim=12, M=50):
     # the runner compiles the whole (D-1)-step episode; per-step latency is
     # episode time / steps at steady state
     out = runner(params, x, mask_p, jax.random.PRNGKey(2))  # compile
-    jax.block_until_ready(out["information_curve"])
+    # readback barrier: through the tunnel, block_until_ready can return
+    # early while the compile is in flight (CLAUDE.md axon quirks)
+    float(out["information_curve"][0, 0])
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
         out = runner(params, x, mask_p, jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(out["information_curve"])
+        float(out["information_curve"][0, 0])
         times.append((time.perf_counter() - t0) / (obs_dim - 1))
     times = np.asarray(times) * 1e3  # ms per selection step
     print(json.dumps({

@@ -47,12 +47,12 @@ ITERS = 200
 
 def _timed(fn, args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    float(out)  # readback barrier (block_until_ready can return early here)
     best = None
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        float(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return best / ITERS

@@ -65,13 +65,13 @@ def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
         return p, opt, ls[-1]
 
     p, opt = pflat, tx.init(pflat)
-    p, opt, _ = run(p, opt, jax.random.PRNGKey(1))  # compile + warmup
-    jax.block_until_ready(p)
+    p, opt, last = run(p, opt, jax.random.PRNGKey(1))  # compile + warmup
+    float(last)  # readback barrier (block_until_ready can return early here)
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         p, opt, last = run(p, opt, jax.random.PRNGKey(2))
-        jax.block_until_ready(last)
+        float(last)
         best = min(best, time.perf_counter() - t0)
     return n_timed * batch / best
 
