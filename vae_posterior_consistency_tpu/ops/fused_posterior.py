@@ -210,6 +210,10 @@ def fused_posterior_auto(mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p):
            6554        186 us       180 us       0.97x   (>= old MIN_ELEMS)
            8192        173 us       132 us       0.76x
           65536       1068 us       158 us       0.15x
+         262144       5690 us       206 us       0.04x
+
+    (re-confirmed with readback-synced barriers after the axon
+    block_until_ready quirk was found — same numbers within noise)
 
     This tail is memory-light elementwise math: XLA fuses it into one VPU
     pass with a parallel reduction, while the kernel's sequential row-grid +
