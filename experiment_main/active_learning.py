@@ -33,6 +33,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    resolve_mesh,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -58,11 +59,17 @@ def main():
                     cfg.data_path, cfg.vae_type, cfg.missing_rate,
                     cfg.batch_size, cfg.data_type,
                 )
-                print(f"=== active learning {cfg.vae_type} ===", flush=True)
+                # -mesh routes the episode dp-sharded over test rows (the
+                # reward/imputation math is row-independent; see
+                # engine/active_learning.active_learning_func)
+                mesh = resolve_mesh(cfg)
+                tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
+                print(f"=== active learning {cfg.vae_type}{tag} ===",
+                      flush=True)
                 t0 = time.perf_counter()
                 out = al_engine.active_learning_func(
                     None, np.asarray(ds.test.x), np.asarray(ds.test.mask),
-                    cfg, Repeat=1
+                    cfg, Repeat=1, mesh=mesh
                 )
                 curve = np.asarray(out["information_curve"])[0, 0, :]
                 print("  info curve (target MSE per #revealed): "

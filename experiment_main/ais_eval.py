@@ -30,6 +30,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    resolve_mesh,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -49,8 +50,12 @@ def main():
         cfg.data_type,
     )
     # eval_ais builds the cfg.ais_schedule bridge itself and rejects
-    # non-Gaussian-decoder families with a family-aware message
-    results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae)
+    # non-Gaussian-decoder families with a family-aware message.
+    # -mesh dp-shards the independent AIS chains (engine/ais.ais_batch).
+    mesh = resolve_mesh(cfg)
+    if mesh is not None:
+        print(f"mesh={dict(mesh.shape)}: AIS chains dp-sharded")
+    results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae, mesh=mesh)
     for stage, res in results.items():
         print(f"  [{stage}] AIS log p(x) = {res.logw:.4f}")
 

@@ -67,9 +67,15 @@ def _group_records(records):
 
 def run_suite_ensembles(records, missing, alpha):
     """Train each family's split triple as ONE vmapped program, then save the
-    per-config checkpoints and run the (single-dispatch) evals — the
-    reference's serial 39-record loop (imputation.py:21-25) becomes ~13
-    compiled ensembles."""
+    per-config checkpoints and run ONE [S]-replica eval program per stage —
+    the reference's serial 39-record loop (imputation.py:21-25) becomes ~13
+    compiled ensembles with ~2 eval dispatches each.
+
+    Composes with `-mesh`: replica rows dp-shard over the resolved mesh
+    (parallel/sweep.shard_ensemble; replica padding handles S % dp != 0).
+    Groups whose splits have unequal row counts fall back to the serial
+    engine per record.
+    """
     import time as _time
 
     import jax as _jax
@@ -77,6 +83,7 @@ def run_suite_ensembles(records, missing, alpha):
     from vae_posterior_consistency_tpu.engine import checkpoint
     from vae_posterior_consistency_tpu.parallel import sweep
 
+    printed_banner = False
     for group in _group_records(records):
         args = setup_parser(group[0], "impute_eval").parse_args()
         cfgs = [
@@ -85,23 +92,49 @@ def run_suite_ensembles(records, missing, alpha):
             for rec in group
         ]
         apply_rng_impl(cfgs[0])
+        mesh = resolve_mesh(cfgs[0])
+        if not printed_banner:
+            # the ensemble path deliberately uses its own PRNG streams
+            # (per-replica fold_in init, shared shuffle) — its checkpoints
+            # are statistically equivalent but not reproductions of the
+            # serial grid (PARITY.md documented deviation #8)
+            tag = f", mesh={dict(mesh.shape)}" if mesh is not None else ""
+            print("[ensemble mode] grid runs as vmapped split-ensembles"
+                  f"{tag}; PRNG streams differ from the serial path "
+                  "(PARITY.md deviation #8)", flush=True)
+            printed_banner = True
         datasets = [
             loaders.data_loader(c.data_path, c.vae_type, c.missing_rate,
                                 c.batch_size, c.data_type)
             for c in cfgs
         ]
         names = [c.vae_type for c in cfgs]
+        train_shapes = {tuple(d.train.x.shape) for d in datasets}
+        test_shapes = {tuple(d.test.x.shape) for d in datasets
+                       if d.test is not None}
+        if len(train_shapes) > 1 or len(test_shapes) > 1:
+            print(f"--- {names}: unequal split shapes, serial fallback ---",
+                  flush=True)
+            for cfg, ds in zip(cfgs, datasets):
+                train_engine.train(ds, cfg, log_fn=epoch_logger(cfg.epoch))
+                results = eval_engine.eval_vae(ds, cfg)
+                for stage, metrics in results.items():
+                    print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
+                        f"{k}={v:.5f}" for k, v in metrics.items()))
+            continue
         print(f"=== ensemble train {names} (missing={missing}, "
               f"alpha={alpha}) ===", flush=True)
         t0 = _time.perf_counter()
-        params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0])
+        params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0],
+                                                       mesh=mesh)
         _jax.block_until_ready(_hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         for i, cfg in enumerate(cfgs):
             p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
             checkpoint.save(p_i, checkpoint.checkpoint_path(cfg, "experiments"))
-            results = eval_engine.eval_vae(datasets[i], cfg, params=p_i)
+        all_results = eval_engine.eval_vae_ensemble(datasets, cfgs, params_ens)
+        for cfg, results in zip(cfgs, all_results):
             for stage, metrics in results.items():
                 print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
                     f"{k}={v:.5f}" for k, v in metrics.items()))

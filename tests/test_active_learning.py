@@ -75,3 +75,53 @@ def test_al_flow_ratio_reward(tmp_path):
     out = al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
                                   experiments_root=str(tmp_path), save=False)
     assert np.isfinite(np.asarray(out["information_curve"])).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_al_mesh_matches_single_device(tmp_path):
+    """dp-sharding the test rows over the mesh must not change the episode:
+    rewards/reveals are row-independent and keys identical, so with n
+    divisible by dp the artifacts match the single-device run exactly
+    (VERDICT r2 item 6)."""
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", M=2,
+                    latent_dim=4)
+    model = get_model(cfg)
+    D, n = 5, 8  # n % dp == 0: no padding -> identical RNG draws
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, D))
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (n, D)) < 0.7).astype(
+        jnp.float32)
+    ref = al.active_learning_func(None, x, mask, cfg, Repeat=2, params=params,
+                                  save=False)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=2, params=params,
+                                  save=False, mesh=mesh)
+    for name in ("information_curve", "action", "R_hist", "im"):
+        np.testing.assert_allclose(np.asarray(out[name]),
+                                   np.asarray(ref[name]), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_al_mesh_padded_rows(setup, tmp_path):
+    """n=9 on dp=4 exercises the padding path: shapes keep the TRUE row
+    count, every row still reveals each feature exactly once, and the info
+    curve is finite (padding changes the shape-keyed RNG stream, so values
+    are a different — equally valid — MC draw than single-chip)."""
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg, params, x, mask = setup
+    n, D = x.shape
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    out = al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
+                                  save=False, mesh=mesh)
+    assert out["information_curve"].shape == (1, n, D)
+    assert out["action"].shape == (1, n, D - 1)
+    assert out["R_hist"].shape == (1, D - 1, n, D - 1)
+    assert out["im"].shape == (1, D - 1, cfg.M, n, D)
+    acts = np.asarray(out["action"])[0]
+    for r in range(n):
+        assert sorted(acts[r].astype(int)) == list(range(D - 1))
+    assert np.isfinite(np.asarray(out["information_curve"])).all()

@@ -63,3 +63,36 @@ def test_ais_latents_shape():
                         schedule=ais.linear_schedule(10),
                         key=jax.random.PRNGKey(1))
     assert res.latents.shape == (3, 8, 2)
+
+
+def test_ais_mesh_matches_single_device():
+    """dp-sharding the independent AIS chains must reproduce the
+    single-device estimate (same keys, row-independent math)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.engine import ais
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    latent, D, n = 3, 4, 6
+    key = jax.random.PRNGKey(0)
+    W = jax.random.normal(key, (latent, D)) * 0.5
+
+    def decoder_fn(z):
+        return z @ W, jnp.full((z.shape[0], D), -1.0)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, D))
+    sched = ais.linear_schedule(20)
+    r_ref = ais.ais_batch(decoder_fn, x, 8, latent, sched,
+                          jax.random.PRNGKey(2))
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    r_mesh = ais.ais_batch(decoder_fn, x, 8, latent, sched,
+                           jax.random.PRNGKey(2), mesh=mesh)
+    np.testing.assert_allclose(r_mesh.logw, r_ref.logw, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(r_mesh.latents, r_ref.latents, rtol=1e-3,
+                               atol=1e-4)

@@ -197,3 +197,62 @@ def test_program_cache_shares_split_siblings(dataset):
     assert e1 is e2
     e3 = ev._split_eval_fn(cfg1, model, n - 1, None)  # n is baked -> miss
     assert e3 is not e1
+
+
+def test_early_stopping_objective_is_epoch_fixed(dataset):
+    """The validation objective must not drift across checks for
+    epoch-dependent losses (ml_reg scales its reg term by epoch/2800 —
+    ADVICE r2 finding #1): _build_val_fn bakes epoch = cfg.epoch, so the
+    same params give the same loss no matter when the check runs, while
+    different cfg.epoch values change the (fixed) objective."""
+    from vae_posterior_consistency_tpu.engine.train import (
+        _build_epoch_runner,
+        _build_val_fn,
+    )
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = _cfg(None, vae_type="reg_vae1", reg_type="ml_reg", epoch=500)
+    model = get_model(cfg)
+    sp = dataset.train
+    params = model.init(jax.random.PRNGKey(0), cfg, dataset.obs_dim)
+    runner = _build_epoch_runner(cfg, sp.x, sp.mask, model,
+                                 template_params=params)
+    pflat = runner.to_flat(params)
+    key = jax.random.PRNGKey(3)
+
+    val_fn = _build_val_fn(cfg, model, runner.to_tree, sp.x, sp.mask)
+    v1 = float(val_fn(pflat, key))
+    v2 = float(val_fn(pflat, key))  # a later check: identical objective
+    assert v1 == v2
+
+    # the objective genuinely depends on the (fixed) epoch: a different
+    # cfg.epoch yields a different value for the same params
+    cfg2 = cfg.replace(epoch=2500)
+    val_fn2 = _build_val_fn(cfg2, model, runner.to_tree, sp.x, sp.mask)
+    assert float(val_fn2(pflat, key)) != v1
+
+
+def test_runner_cache_bypassed_for_custom_model(dataset):
+    """A caller passing a model that differs from get_model(cfg) must not
+    hit (or poison) the shared program cache (ADVICE r2 finding #2)."""
+    import dataclasses
+
+    from vae_posterior_consistency_tpu.engine.train import (
+        _RUNNER_CACHE,
+        _build_epoch_runner,
+        _program_cache_key,
+    )
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = _cfg(None, vae_type="vanilla_vae1")
+    sp = dataset.train
+    r1 = _build_epoch_runner(cfg, sp.x, sp.mask)
+    key = _program_cache_key(cfg, sp.x.shape[0], sp.x.shape[1])
+    assert key in _RUNNER_CACHE
+    cached_entry = _RUNNER_CACHE[key]
+
+    other = dataclasses.replace(get_model(cfg), name="custom-variant")
+    r2 = _build_epoch_runner(cfg, sp.x, sp.mask, model=other)
+    # cache neither consulted (r2 got its own program) nor poisoned
+    assert _RUNNER_CACHE[key] is cached_entry
+    assert r2.run_chunk is not r1.run_chunk

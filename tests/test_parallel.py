@@ -325,3 +325,79 @@ def test_shard_ensemble_rejects_indivisible():
     P = jnp.zeros((6, 10))
     with pytest.raises(ValueError, match="not divisible"):
         sweep.shard_ensemble(P, {"mu": jnp.zeros((6, 10))}, m)
+
+
+def test_split_ensemble_mesh_padding_matches_unsharded(tiny_dataset):
+    """`-ensemble x -mesh` composition (VERDICT r2 item 2): a split triple
+    (S=3) dp-shards over dp=4 via replica padding, and the padded/sharded run
+    must reproduce the unsharded ensemble's trajectories exactly (replica
+    streams are keyed by replica index, so the pad rows change nothing for
+    rows 0..S-1)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=6, batch_size=32, latent_dim=4,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    p_ref, h_ref = train_split_ensemble(datasets, cfgs[0], chunk_epochs=6)
+    m = meshlib.make_mesh(jax.devices()[:8])  # dp=4, tp=2: 3 % 4 != 0
+    p_sh, h_sh = train_split_ensemble(datasets, cfgs[0], chunk_epochs=6,
+                                      mesh=m)
+    assert h_sh.shape == (3, 6)
+    np.testing.assert_allclose(h_sh, h_ref, rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        assert np.asarray(a).shape[0] == 3  # padding sliced off
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_split_ensemble_rejects_unequal_shapes(tiny_dataset):
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_split_ensemble,
+    )
+
+    cfg = RunConfig(vae_type="reg_vae1", data_type="synth_small", epoch=2,
+                    batch_size=16, latent_dim=4)
+    ds1 = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 16, "synth_small")
+    ds2 = Dataset(train=Split(ds1.train.x[:-3], ds1.train.mask[:-3], "train"),
+                  test=None, obs_dim=ds1.obs_dim)
+    with pytest.raises(ValueError, match="identical train-split shapes"):
+        train_split_ensemble([ds1, ds2], cfg)
+
+
+def test_eval_vae_ensemble_matches_serial(tiny_dataset, tmp_path):
+    """One vmapped [S]-replica eval program must reproduce the serial
+    per-replica eval_vae metrics exactly (VERDICT r2 item 3): same key
+    stream, same aggregation, just stacked on the batch dims."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import evaluate as ev
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        ensemble_replica,
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=6, batch_size=32, latent_dim=4, M=2,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    params_ens, _ = train_split_ensemble(datasets, cfgs[0], chunk_epochs=6)
+
+    ens = ev.eval_vae_ensemble(datasets, cfgs, params_ens,
+                               experiments_root=str(tmp_path / "ens"))
+    for i, cfg in enumerate(cfgs):
+        serial = ev.eval_vae(datasets[i], cfg,
+                             params=ensemble_replica(params_ens, i),
+                             experiments_root=str(tmp_path / "serial"))
+        for stage in serial:
+            for k, v in serial[stage].items():
+                np.testing.assert_allclose(ens[i][stage][k], v, rtol=1e-5,
+                                           atol=1e-6, err_msg=f"{i}/{stage}/{k}")

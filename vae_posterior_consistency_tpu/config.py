@@ -194,6 +194,13 @@ class RunConfig:
     # regularized notMIWAE variant: 'v2' (factory default) | 'both_s' |
     # 'sampled_mask' (see models/notmiwae.py)
     reg_notmiwae_variant: str = "v2"
+    #: matmul compute dtype: 'float32' (reference-exact numerics, the
+    #: default every golden/parity test pins) | 'bfloat16' (MXU-native
+    #: operands with f32 accumulation — the TPU mixed-precision recipe;
+    #: params/optimizer/elementwise stay f32). Measured equivalent training
+    #: quality at the MNIST-EDDI scale (tests/test_models.py bf16 test,
+    #: RESULTS.md mixed-precision section).
+    compute_dtype: str = "float32"
     #: device mesh for the multi-chip engine: '' = single-chip, 'auto' = all
     #: devices (dp x tp auto-factored), 'DP' or 'DP,TP' explicit. The
     #: reference is hard-wired to one device (imputation.py:16); with a mesh

@@ -86,21 +86,33 @@ def _impute_samples(model, params, cfg, x, mask, mask_p, key, M):
 _AL_CACHE: dict = {}
 
 
-def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int):
+def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int,
+                   row_weights=None):
     """Compile the full selection loop for one Repeat:
-    (params, x, mask_p, key) -> artifact dict."""
+    (params, x, mask_p, key) -> artifact dict.
+
+    `row_weights` (0/1 per row) excludes dp-padding rows from the scalar
+    predictive-MSE mean when the mesh path pads n_test up to a multiple of
+    dp (active_learning_func); per-row outputs for padded rows are sliced
+    off by the caller. None = all rows count (the single-chip path,
+    bit-identical to before)."""
     M = cfg.M
     D = obs_dim
     n_steps = D - 1
     is_flow = cfg.info.flow
     last_onehot = jax.nn.one_hot(D - 1, D)[None, :]
+    w_row = None if row_weights is None else jnp.asarray(row_weights,
+                                                         jnp.float32)
 
     def predictive_mse(params, x, mask, key):
         # mean over M samples of F.mse_loss(x_mean[:, -1], x[:, -1])
         # (reference: evaluate.py:364-385)
         im = _impute_samples(model, params, cfg, x, mask,
                              jnp.ones_like(mask), key, M)
-        return jnp.mean(jnp.square(im[:, :, -1] - x[None, :, -1]))
+        sq = jnp.square(im[:, :, -1] - x[None, :, -1])  # [M, n]
+        if w_row is None:
+            return jnp.mean(sq)
+        return jnp.sum(sq * w_row[None, :]) / (M * jnp.sum(w_row))
 
     def rewards(params, x, mask, im, key):
         """R [n, D-1]: scan over MC samples, vmap over candidates.
@@ -205,11 +217,18 @@ def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int):
 
 def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
                          experiments_root: str = "experiments", Repeat: int = 1,
-                         params=None, key=None, save: bool = True):
+                         params=None, key=None, save: bool = True, mesh=None):
     """Top-level AL driver (reference: evaluate.py:300-511): uses the
     pre-trained checkpoint (the reference's training call is commented out,
     evaluate.py:309-313), runs `Repeat` independent selection episodes, saves
-    the 4 artifact tensors."""
+    the 4 artifact tensors.
+
+    With `mesh`, the test rows dp-shard across the mesh: every per-step
+    computation (imputations, candidate rewards, argmax reveals) is
+    row-independent, so XLA's SPMD partitioner splits the whole compiled
+    episode along rows from the INPUT shardings alone — the only collectives
+    are the scalar mean in predictive_mse and the final-artifact gather.
+    Same math, same keys, same artifacts as single-chip."""
     model = get_model(cfg)
     x = jnp.asarray(test_data, jnp.float32)
     test_mask = jnp.asarray(test_mask, jnp.float32)
@@ -219,14 +238,29 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
         params = load_trained(ds, cfg, experiments_root)
     key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
 
+    # mesh path: pad rows to a multiple of dp (sharding requires even
+    # shards); padded rows are weighted out of the scalar MSE and sliced
+    # off the returned artifacts
+    n_run, row_weights = n_test, None
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        pad = (-n_test) % dp
+        if pad:
+            n_run = n_test + pad
+            x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
+            test_mask = jnp.concatenate(
+                [test_mask, jnp.ones((pad, D), test_mask.dtype)])
+            row_weights = (jnp.arange(n_run) < n_test).astype(jnp.float32)
+
     # episode programs are shared across split-digit siblings (the digit only
     # selects data files — engine/train._RUNNER_CACHE has the rationale)
     from vae_posterior_consistency_tpu.engine.train import _program_cache_key
 
-    al_key = _program_cache_key(cfg, n_test, D)
+    al_key = _program_cache_key(cfg, n_run, D) + (row_weights is not None,)
     run_all = _AL_CACHE.get(al_key)
     if run_all is None:
-        runner = make_al_runner(cfg, model, D, n_test)
+        runner = make_al_runner(cfg, model, D, n_run,
+                                row_weights=row_weights)
 
         @jax.jit
         def run_all(params, x, mask_ps, run_keys):
@@ -251,7 +285,22 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
                                               cfg.p_missingness)
     )(kpairs[:, 0])
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+        mask_ps = jax.device_put(mask_ps, NamedSharding(mesh, P(None, "dp",
+                                                               None)))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
     stacked = run_all(params, x, mask_ps, kpairs[:, 1])
+    if n_run != n_test:  # drop the dp-padding rows (row axes per artifact)
+        stacked = {
+            "information_curve": stacked["information_curve"][:, :n_test],
+            "action": stacked["action"][:, :n_test],
+            "R_hist": stacked["R_hist"][:, :, :n_test],
+            "im": stacked["im"][:, :, :, :n_test],
+        }
     if save:
         paths = artifacts.active_learning_paths(cfg, experiments_root)
         for name in ("information_curve", "action", "R_hist", "im"):

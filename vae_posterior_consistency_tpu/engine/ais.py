@@ -68,16 +68,35 @@ class AISResult:
 
 
 def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
-              initial_eps: float = 0.01, leapfrog: int = 10) -> AISResult:
+              initial_eps: float = 0.01, leapfrog: int = 10,
+              mesh=None) -> AISResult:
     """Run AIS for one batch of data.
 
     decoder_fn(z) -> (mean, logvar): the model's observation decoder
     (reference uses model.decoder the same way, AIS.py:135).
+
+    With `mesh`, the B0*n_sample independent chains dp-shard across the mesh
+    (rows never interact until the final host-side logsumexp), so the whole
+    temperature scan partitions with zero collectives.
     """
     B0 = x.shape[0]
-    B = B0 * n_sample
+    B0_run = B0
+    if mesh is not None:
+        # even-shard requirement: pad data rows until the chain count
+        # divides dp; padded rows' chains are dropped before the bound
+        dp = mesh.shape["dp"]
+        while (B0_run * n_sample) % dp:
+            B0_run += 1
+        if B0_run != B0:
+            x = jnp.concatenate(
+                [x, jnp.zeros((B0_run - B0, x.shape[1]), x.dtype)])
+    B = B0_run * n_sample
     x_rep = jnp.tile(x, (n_sample, 1))
     schedule = jnp.asarray(schedule, jnp.float32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_rep = jax.device_put(x_rep, NamedSharding(mesh, P("dp", None)))
 
     def _prior_and_lik(z):
         """One decoder evaluation -> (log p(z), log p(x|z)); every bridge
@@ -113,6 +132,10 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
 
     k_init, k_scan = jax.random.split(key)
     z0 = jax.random.normal(k_init, (B, latent_dim))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
 
     def step(carry, inp):
         z, eps, accept_hist, logw, j = carry
@@ -148,21 +171,24 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     (z, eps, _, logw, _), _ = jax.lax.scan(
         step, init, (schedule[:-1], schedule[1:], keys)
     )
-    # IWAE-style bound over chains (reference: AIS.py:219-220)
-    logw_mat = logw.reshape(n_sample, B0).T
+    # IWAE-style bound over chains (reference: AIS.py:219-220); padded rows
+    # (mesh even-shard fill) drop out here
+    logw_mat = logw.reshape(n_sample, B0_run).T[:B0]
     lw = jax.scipy.special.logsumexp(logw_mat, axis=1) - jnp.log(n_sample)
     return AISResult(
         logw=float(jnp.mean(lw)),
-        latents=np.asarray(z.reshape(n_sample, B0, latent_dim).transpose(1, 0, 2)),
+        latents=np.asarray(
+            z.reshape(n_sample, B0_run, latent_dim).transpose(1, 0, 2)[:B0]),
     )
 
 
 def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
              n_sample: int = 100, key=None,
-             experiments_root: str = "experiments", save: bool = True):
+             experiments_root: str = "experiments", save: bool = True,
+             mesh=None):
     """AIS driver over the dataset splits (reference: AIS.py:80-91) against the
     pre-trained checkpoint; saves <stage>_ais.pt artifacts
-    (reference: AIS.py:230-233)."""
+    (reference: AIS.py:230-233). With `mesh`, chains dp-shard (ais_batch)."""
     import os
 
     from vae_posterior_consistency_tpu.engine import artifacts
@@ -196,7 +222,8 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
         # fixed per-split key derivation (Python's str hash is salted per
         # process and would make AIS chains non-reproducible across runs)
         res = ais_batch(decoder_fn, split.x, n_sample, cfg.latent_dim,
-                        schedule, jax.random.fold_in(key, split_idx))
+                        schedule, jax.random.fold_in(key, split_idx),
+                        mesh=mesh)
         results[split.stage] = res
         if save:
             base = os.path.join(

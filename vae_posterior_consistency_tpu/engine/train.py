@@ -120,8 +120,15 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     sharding) — see FlatRunner.to_tree/from_tree. Compiled programs are
     shared across split-digit siblings via _RUNNER_CACHE.
     """
+    # The cache key is the digit-stripped config: a caller passing a CUSTOM
+    # model (anything but get_model(cfg)) must bypass the cache entirely,
+    # both read and write — on a hit it would silently get another model's
+    # compiled program, and on a miss it would poison the cache for every
+    # later get_model(cfg) caller (ADVICE r2 finding #2). template_params
+    # only sets the flat layout and is likewise ignored on a hit.
+    custom_model = model is not None and model != get_model(cfg)
     key_ = _program_cache_key(cfg, data.shape[0], data.shape[1])
-    cached = _RUNNER_CACHE.get(key_)
+    cached = None if custom_model else _RUNNER_CACHE.get(key_)
     if cached is not None:
         run_chunk, tx, unravel = cached
         from jax.flatten_util import ravel_pytree as _rp
@@ -211,7 +218,8 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     def to_flat(params):
         return ravel_pytree(params)[0]
 
-    _cache_put(_RUNNER_CACHE, key_, (run_chunk, tx, unravel))
+    if not custom_model:
+        _cache_put(_RUNNER_CACHE, key_, (run_chunk, tx, unravel))
     return FlatRunner(run_chunk, tx, to_flat, unravel, data, mask)
 
 
@@ -238,14 +246,22 @@ def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
     """Compile a full-split validation objective for early stopping.
 
     Same per-batch mask dispatch as the training step, evaluated without
-    gradients on the whole validation split at once. The mask_p / drop draw
-    uses a key FIXED across checks, so successive validation losses are
-    comparable (the reference's per-epoch val loader redraws masks, adding
-    noise to exactly the signal EarlyStopping thresholds on)."""
+    gradients on the whole validation split at once. Two things are pinned so
+    that successive checks compare the SAME objective:
+    - the mask_p / drop draw uses a key FIXED across checks (the reference's
+      per-epoch val loader redraws masks, adding noise to exactly the signal
+      EarlyStopping thresholds on);
+    - the loss is evaluated at a FIXED epoch = cfg.epoch (matching
+      eval_step's default). ml_reg and beta_annealing configs scale loss
+      terms by epoch/2800 (models/gauss.py:_anneal), so feeding the current
+      epoch would make the objective itself drift between checks — the reg
+      term's monotone growth could exhaust patience spuriously or mask real
+      plateaus (ADVICE r2 finding #1)."""
     info = cfg.info
+    fixed_epoch = jnp.float32(cfg.epoch)
 
     @jax.jit
-    def val_loss(pflat, key, epoch):
+    def val_loss(pflat, key):
         k_mask, k_model = jax.random.split(key)
         if info.regularized:
             mask_p = masks.sub_mask(k_mask, mask, cfg.p_missingness)
@@ -257,7 +273,7 @@ def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
             mask_p = jnp.ones_like(mask)
             eff_mask = mask
         return model.train_loss(unravel(pflat), x, eff_mask, mask_p, k_model,
-                                epoch, cfg)[0]
+                                fixed_epoch, cfg)[0]
 
     return val_loss
 
@@ -344,7 +360,7 @@ def train(
         if log_fn is not None:
             log_fn(done, history[-1])
         if val_fn is not None:
-            vloss = float(val_fn(pflat, k_val, jnp.float32(done)))
+            vloss = float(val_fn(pflat, k_val))
             if early_stopping.update(vloss, runner.to_tree(pflat)):
                 break
 

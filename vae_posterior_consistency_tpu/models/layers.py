@@ -71,22 +71,26 @@ def pointnet_encoder_init(key, obs_dim, latent_dim, emb_dim, trunk_widths=(100, 
 
 def pointnet_encoder_apply(params, x, mask):
     """Per-feature embed [x_d, x_d*W_d, b_d] -> Linear+ReLU -> masked sum-pool -> trunk
-    (reference: src/models/VAE.py:719-741). One batched [B*D, K+2] matmul."""
-    emb_dim = params["type_pars"].shape[1]
-    x_e = x[..., None]  # [B, D, 1]
-    feats = jnp.concatenate(
-        [
-            x_e,
-            x_e * params["type_pars"][None, :, :],  # [B, D, K]
-            jnp.broadcast_to(params["type_bias"][None, :, :], x_e.shape),
-        ],
-        axis=-1,
-    )  # [B, D, K+2]
-    emb = jax.nn.relu(core.dense(params["pnp1"]["layer0"], feats))  # [B, D, K]
+    (reference: src/models/VAE.py:719-741).
+
+    TPU optimization (algebraically identical to the reference's batched
+    [B*D, K+2] @ [K+2, K] matmul): because the embedding features are linear
+    in the scalar x_d, the per-feature Linear collapses to
+        emb[b,d,:] = x[b,d] * A[d,:] + C[d,:]
+    with A = W1[0] + type_pars @ W1[1:K+1] and C = type_bias * W1[K+1] + b1
+    — a batch-INDEPENDENT [D,K+2]->[D,K] precompute (hoisted by XLA out of
+    the batch dim) plus pure fused elementwise work. This removes the one
+    K-contraction matmul the MXU tiles badly (K+2 ~ 12 lanes of a 128-wide
+    systolic pass) and cuts the encoder's per-sample embed FLOPs ~10x at
+    MNIST scale (784 features)."""
+    W1 = params["pnp1"]["layer0"]["w"]  # [K+2, K]
+    b1 = params["pnp1"]["layer0"]["b"]  # [K]
+    A = W1[0] + params["type_pars"] @ W1[1:-1]  # [D, K]
+    C = params["type_bias"] * W1[-1] + b1  # [D, K]
+    emb = jax.nn.relu(x[..., None] * A + C)  # [B, D, K]
     agg = jnp.sum(mask[..., None] * emb, axis=-2)  # [B, K]
     h = core.mlp_apply(params["pnp2"], agg, hidden_act="relu")
     mean, logvar = jnp.split(h, 2, axis=-1)
-    del emb_dim
     return mean, logvar
 
 

@@ -9,12 +9,14 @@ reload itself lives in engine/checkpoint.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax.numpy as jnp
 
 from vae_posterior_consistency_tpu.config import RunConfig, parse_vae_type
 from vae_posterior_consistency_tpu.models import flow_vae, gauss, miwae, notmiwae
+from vae_posterior_consistency_tpu.nn import core
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,7 +106,31 @@ _FAMILY_TO_DEF = {
 }
 
 
+@functools.lru_cache(maxsize=None)
+def _dtype_wrapped(fn: Callable, dtype: str) -> Callable:
+    """Run `fn` (a model's train_loss/eval_step) under core.compute_dtype.
+
+    The wrapper activates during TRACING, so the dtype choice is baked into
+    every compiled program built from the returned function. Memoized so
+    repeated get_model(cfg) calls return EQUAL ModelDefs — the engine
+    program caches compare models by equality (engine/train.py)."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with core.compute_dtype(dtype):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 def get_model(cfg: RunConfig) -> ModelDef:
     info = parse_vae_type(cfg.vae_type)
     base = _FAMILY_TO_DEF[info.family]
-    return dataclasses.replace(base, uses_p_branch=info.regularized)
+    model = dataclasses.replace(base, uses_p_branch=info.regularized)
+    if cfg.compute_dtype != "float32":
+        model = dataclasses.replace(
+            model,
+            train_loss=_dtype_wrapped(model.train_loss, cfg.compute_dtype),
+            eval_step=_dtype_wrapped(model.eval_step, cfg.compute_dtype),
+        )
+    return model

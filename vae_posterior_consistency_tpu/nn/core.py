@@ -40,8 +40,42 @@ def xavier_uniform(key: jax.Array, shape) -> jax.Array:
     return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
 
 
+#: active matmul compute dtype (trace-time; see compute_dtype()). float32 is
+#: the default and what every golden/parity test pins; bfloat16 engages the
+#: MXU's native bf16 path (2x peak on v5e) with float32 accumulation.
+_COMPUTE_DTYPE: list = ["float32"]
+
+
+class compute_dtype:
+    """Context manager selecting the matmul input dtype while a model function
+    is being TRACED (models are jitted, so the choice is baked into the
+    compiled program). With 'bfloat16', dense() casts both matmul operands to
+    bf16 and accumulates in float32 (`preferred_element_type`) — the standard
+    TPU mixed-precision recipe: parameters, optimizer state, and all
+    elementwise math stay float32; only the MXU operands narrow. Installed
+    per-run via RunConfig.compute_dtype (models/registry.get_model wraps the
+    model fns)."""
+
+    def __init__(self, dtype: str = "float32"):
+        self.dtype = dtype
+
+    def __enter__(self):
+        _COMPUTE_DTYPE.append(self.dtype)
+
+    def __exit__(self, *exc):
+        _COMPUTE_DTYPE.pop()
+
+
 def dense(params: Params, x: jax.Array) -> jax.Array:
-    """y = x @ W + b. Always runs in float32 accumulation on the MXU."""
+    """y = x @ W + b. Accumulates in float32 on the MXU; operand dtype is
+    selected by compute_dtype() (bf16 operands halve HBM traffic and double
+    MXU peak, sums still f32)."""
+    if _COMPUTE_DTYPE[-1] == "bfloat16":
+        return (
+            jnp.dot(x.astype(jnp.bfloat16), params["w"].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + params["b"]
+        )
     return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
 
 

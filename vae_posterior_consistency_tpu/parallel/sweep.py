@@ -285,13 +285,32 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     """
     model = get_model(cfg)
     S = len(datasets)
-    xs = jnp.stack([d.train.x for d in datasets])  # [S, n, D]
-    ms = jnp.stack([d.train.mask for d in datasets])
+    shapes = {tuple(d.train.x.shape) for d in datasets}
+    if len(shapes) > 1:
+        # jnp.stack would raise an opaque shape error; splits from
+        # generate_uci always agree, but reference-provided train_index CSVs
+        # carry no such guarantee (ADVICE r2 finding #4)
+        raise ValueError(
+            "train_split_ensemble needs identical train-split shapes across "
+            f"the group; got {sorted(shapes)} — run these configs through "
+            "the serial engine instead"
+        )
+    # replica padding: replica rows shard over the mesh's dp axis, so with a
+    # mesh the [S, P] matrix is padded to the next multiple of dp by
+    # duplicating the last split (the reference suite's split triples hit
+    # S=3 on dp=4 meshes); padded rows train as dead weight and are sliced
+    # off before returning.
+    S_run = S
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        S_run = -(-S // dp) * dp
+    xs = jnp.stack([datasets[min(i, S - 1)].train.x for i in range(S_run)])
+    ms = jnp.stack([datasets[min(i, S - 1)].train.mask for i in range(S_run)])
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        jax.random.PRNGKey(cfg.seed), jnp.arange(S))
+        jax.random.PRNGKey(cfg.seed), jnp.arange(S_run))
     Pmat, unravel = _flat_ensemble_init(model, cfg, xs.shape[2], init_keys)
     run_chunk = _make_ensemble_chunk(cfg, model, unravel, xs, ms,
-                                     mode="split", S=S)
+                                     mode="split", S=S_run)
     tx = optax.adam(LEARNING_RATE)
     opt_state = tx.init(Pmat)
     if mesh is not None:
@@ -300,7 +319,7 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
         Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
     Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
-    return jax.vmap(unravel)(Pmat), hist
+    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
