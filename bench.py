@@ -192,12 +192,14 @@ def main():
         out["ensemble_mfu"] = round(ens_tflops / peak, 6)
 
     # MNIST-EDDI regime (VERDICT r2 item 1): the 784-dim matmul-heavy family
-    # at the reference batch (64) and at an MXU-loading batch (512), f32 and
-    # bf16 — the first MFU numbers at a scale where the MXU matters
+    # at the reference batch (64) and at the MXU-saturating batch (1024 —
+    # tools/bench_mnist.py sweep: throughput plateaus there), f32 and bf16.
+    # The first MFU numbers at a scale where the MXU matters; analysis in
+    # RESULTS.md "The MNIST-EDDI regime".
     mnist_fps = _mnist_flops_per_sample()
     for tag, b, dt in (("mnist_b64", 64, "float32"),
-                       ("mnist_b512", 512, "float32"),
-                       ("mnist_b512_bf16", 512, "bfloat16")):
+                       ("mnist_b1024", 1024, "float32"),
+                       ("mnist_b1024_bf16", 1024, "bfloat16")):
         sps = _bench_mnist(b, dt)
         tf = sps * mnist_fps / 1e12
         out[f"{tag}_samples_per_sec"] = round(sps, 1)

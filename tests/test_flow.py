@@ -80,3 +80,61 @@ def test_flow_density_normalizes():
     dens = jnp.exp(lp[:, 0])
     integral = float(jnp.trapezoid(dens, grid))
     assert abs(integral - 1.0) < 0.02
+
+
+def test_flow_actnorm_roundtrip_and_training():
+    """flow_actnorm=True routes the spline stack through composite_apply with
+    ActNorm affines interleaved (the layer the reference comments out of its
+    Flow, VAE.py:1827): forward samples and inverse log-probs must stay
+    consistent, identity-init must reproduce the plain stack, and the flow
+    family must still train."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.models import flow_vae, get_model
+
+    # linear tails: the spline is globally invertible, so forward/inverse
+    # log-probs must agree even when ActNorm pushes values outside the
+    # spline interval (the clamp default is intentionally non-invertible
+    # out-of-domain — PARITY.md deviation #5)
+    cfg = RunConfig(vae_type="vanilla_flow1", latent_dim=4, hid_dim=16,
+                    flow_actnorm=True, flow_tails="linear")
+    D, B = 6, 12
+    params = flow_vae.init(jax.random.PRNGKey(0), cfg, D)
+    assert "actnorm" in params and len(params["actnorm"]) == 3
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, D))
+    m = (jax.random.uniform(jax.random.PRNGKey(2), (B, D)) < 0.7).astype(
+        jnp.float32)
+
+    # identity init: actnorm path == plain spline stack
+    cfg0 = cfg.replace(flow_actnorm=False)
+    p0 = {k: v for k, v in params.items() if k != "actnorm"}
+    enc_a = jax.jit(lambda p, k: flow_vae.encode(p, x, m, k, cfg))
+    enc_0 = jax.jit(lambda p, k: flow_vae.encode(p, x, m, k, cfg0))
+    z_a, lp_a = enc_a(params, jax.random.PRNGKey(3))
+    z_0, lp_0 = enc_0(p0, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_0), atol=1e-6)
+
+    # with NON-identity actnorm: forward log-prob must agree with the
+    # inverse-pass evaluation of the same z (change-of-variables consistency
+    # through composite_apply in both directions)
+    params["actnorm"] = [
+        {"log_scale": 0.1 * jax.random.normal(jax.random.PRNGKey(10 + i), (4,)),
+         "shift": 0.1 * jax.random.normal(jax.random.PRNGKey(20 + i), (4,))}
+        for i in range(3)
+    ]
+    z, lp_fwd = enc_a(params, jax.random.PRNGKey(4))
+    lp_inv = jax.jit(lambda p, zz: flow_vae.encoder_log_prob(p, zz, x, m, cfg))(
+        params, z)
+    np.testing.assert_allclose(np.asarray(lp_fwd), np.asarray(lp_inv),
+                               rtol=1e-4, atol=1e-5)
+
+    # and the family trains end-to-end with the flag on
+    model = get_model(cfg)
+    loss, _ = jax.jit(
+        lambda p, k: model.train_loss(p, x, m, m, k, jnp.float32(1.0), cfg)
+    )(params, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss))

@@ -311,3 +311,38 @@ def test_notmiwae_author_variant_nets(batch):
         params_ch, x, mask, mask_p, jax.random.PRNGKey(2), jnp.float32(1.0),
         cfg_ch)[0])
     assert l_ch != float(loss)
+
+
+def test_compute_dtype_bfloat16_trains_equivalently():
+    """compute_dtype='bfloat16' (matmul operands + the EDDI embed chain in
+    bf16, f32 accumulation/params) must track the f32 training trajectory
+    within bf16 rounding — same shapes, same key streams, loss curves within
+    a few percent."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
+    from vae_posterior_consistency_tpu.models import get_model
+
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.uniform(0, 1, (96, 20)), jnp.float32)
+    mask = jnp.asarray(rng.random((96, 20)) < 0.7, jnp.float32)
+    hist = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = RunConfig(vae_type="reg_EDDI_mnist1", data_type="mnist",
+                        reg_type="kl_reg", batch_size=32, latent_dim=4, K=6,
+                        compute_dtype=dt)
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), cfg, 20)
+        runner = _build_epoch_runner(cfg, data, mask, model,
+                                     template_params=params)
+        pflat = runner.to_flat(params)
+        _, _, losses = runner(pflat, runner.tx.init(pflat),
+                              jax.random.PRNGKey(1), jnp.asarray(0), 15)
+        hist[dt] = np.asarray(losses)
+    assert np.isfinite(hist["bfloat16"]).all()
+    # both trajectories decrease and stay within a few percent of each other
+    assert hist["bfloat16"][-1] < hist["bfloat16"][0]
+    np.testing.assert_allclose(hist["bfloat16"], hist["float32"], rtol=0.05)

@@ -188,18 +188,24 @@ class RunConfig:
     # latent support and trains markedly better — see nn/flow.py) | 'linear'
     # (true linear tails, the reference code's documented intent)
     flow_tails: str = "clamp"
+    # opt-in learnable ActNorm affines between the flow's spline layers — the
+    # layer the reference defines but leaves commented out of its Flow
+    # (src/models/VAE.py:1627-1657, 1827); identity at init
+    flow_actnorm: bool = False
     # notMIWAE bound: False = reference objective (logsumexp of the positive
     # negative-log-weights, VAE.py:2803-2807); True = textbook IWAE bound
     fixed_iwae_bound: bool = False
     # regularized notMIWAE variant: 'v2' (factory default) | 'both_s' |
     # 'sampled_mask' (see models/notmiwae.py)
     reg_notmiwae_variant: str = "v2"
-    #: matmul compute dtype: 'float32' (reference-exact numerics, the
-    #: default every golden/parity test pins) | 'bfloat16' (MXU-native
-    #: operands with f32 accumulation — the TPU mixed-precision recipe;
-    #: params/optimizer/elementwise stay f32). Measured equivalent training
-    #: quality at the MNIST-EDDI scale (tests/test_models.py bf16 test,
-    #: RESULTS.md mixed-precision section).
+    #: compute dtype: 'float32' (reference-exact numerics, the default every
+    #: golden/parity test pins) | 'bfloat16' (bf16 operands with f32
+    #: accumulation; params/optimizer stay f32). Measured on TPU v5e: XLA's
+    #: DEFAULT precision already runs f32 matmuls as bf16-with-f32-
+    #: accumulate on the MXU (identical losses, identical speed — RESULTS.md
+    #: "Mixed precision"), so on TPU this knob's real effect is narrowing
+    #: the big ELEMENTWISE intermediates (the EDDI [B, D, K] embed) to halve
+    #: their HBM traffic. On CPU/GPU it also narrows the matmuls themselves.
     compute_dtype: str = "float32"
     #: device mesh for the multi-chip engine: '' = single-chip, 'auto' = all
     #: devices (dp x tp auto-factored), 'DP' or 'DP,TP' explicit. The

@@ -7,6 +7,9 @@ estimation.
 - `mutual_information`: the reference's MI=True loss branch for the Gaussian
   families — KL_q / B minus KL(aggregated posterior || prior)
   (reference: src/models/VAE.py:153-158, 308-313).
+- `mutual_information_kde`: the same diagnostic with the aggregated posterior
+  evaluated by Gaussian KDE over posterior samples instead of the reference's
+  single-Gaussian coordinate-mean shortcut.
 """
 
 from __future__ import annotations
@@ -49,3 +52,35 @@ def mutual_information(params, x, mask, cfg: RunConfig):
     agg_logvar = jnp.mean(logvar, axis=0)
     KL_agg = kl_diag_std(agg_mean, agg_logvar)
     return KL_q / x.shape[0] - KL_agg
+
+
+def mutual_information_kde(params, x, mask, cfg: RunConfig, key=None):
+    """Sharper MI diagnostic than the reference's coordinate-mean shortcut:
+    MI(x; z) ~ E_x E_{z~q(z|x)} [ log q(z|x) - log q_agg(z) ], with the
+    aggregated posterior q_agg evaluated by a Gaussian KDE over one posterior
+    sample per row (nn/tensor_utils.gaussian_kde_log_eval; Scott's-rule
+    bandwidth). The reference approximates q_agg as a single Gaussian with
+    coordinate-wise mean statistics (src/models/VAE.py:153-158) — exact only
+    when all posteriors coincide; the KDE form tracks multi-modal aggregates.
+    Non-negative in expectation; ~0 for an input-independent encoder."""
+    from vae_posterior_consistency_tpu.nn.tensor_utils import (
+        gaussian_kde_log_eval,
+    )
+    from vae_posterior_consistency_tpu.ops.math import (
+        normal_logpdf,
+        reparameterize,
+    )
+
+    model = get_model(cfg)
+    if model.encode_stats is None:
+        raise NotImplementedError(
+            "mutual_information_kde needs a Gaussian-posterior family"
+        )
+    key = jax.random.PRNGKey(cfg.seed + 6) if key is None else key
+    mean, logvar = model.encode_stats(params, x, mask, cfg)
+    if mean.ndim == 3:  # MIWAE-style [B, K, L] tiling
+        mean, logvar = mean[:, 0, :], logvar[:, 0, :]
+    z = reparameterize(key, mean, logvar)  # [B, L], one sample per row
+    log_q = jnp.sum(normal_logpdf(z, mean, logvar), axis=-1)
+    log_q_agg = gaussian_kde_log_eval(z, z)
+    return jnp.mean(log_q - log_q_agg)

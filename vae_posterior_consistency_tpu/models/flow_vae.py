@@ -28,13 +28,21 @@ from vae_posterior_consistency_tpu.ops.math import normal_logpdf
 
 def init(key, cfg, obs_dim):
     k_enc, k_dec = jax.random.split(key)
-    return {
+    params = {
         "encoder": layers.flow_context_encoder_init(
             k_enc, obs_dim, cfg.hid_dim, context_dim=cfg.latent_dim * cfg.latent_dim
         ),
         "decoder": layers.flow_decoder_init(k_dec, obs_dim, cfg.latent_dim,
                                             cfg.hid_dim),
     }
+    if getattr(cfg, "flow_actnorm", False):
+        # opt-in: learnable ActNorm affines between the spline layers — the
+        # layer the reference defines but leaves commented out of Flow
+        # (reference: src/models/VAE.py:1627-1657, 1827). Identity at init,
+        # so the flow starts exactly as the plain spline stack.
+        params["actnorm"] = [flowlib.actnorm_init(cfg.latent_dim)
+                             for _ in range(flowlib.NUM_LAYERS)]
+    return params
 
 
 def encode(params, x, mask, key, cfg):
@@ -43,7 +51,8 @@ def encode(params, x, mask, key, cfg):
     (reference-effective, default) vs true linear tails."""
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
     return flowlib.flow_forward(key, context, cfg.latent_dim,
-                                tails=getattr(cfg, "flow_tails", "clamp"))
+                                tails=getattr(cfg, "flow_tails", "clamp"),
+                                actnorm=params.get("actnorm"))
 
 
 def encoder_log_prob(params, z, x, mask, cfg):
@@ -51,7 +60,8 @@ def encoder_log_prob(params, z, x, mask, cfg):
     the flow-ratio AL reward (reference: src/models/VAE.py:1933-1941)."""
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
     return flowlib.flow_log_prob(z, context, cfg.latent_dim,
-                                 tails=getattr(cfg, "flow_tails", "clamp"))
+                                 tails=getattr(cfg, "flow_tails", "clamp"),
+                                 actnorm=params.get("actnorm"))
 
 
 def decode(params, z):

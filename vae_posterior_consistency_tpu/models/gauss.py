@@ -141,21 +141,34 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg):
         loss = loss_q / B
         return loss, {"RE_q": RE_q / B, "KL_q": KL_q / B}
 
-    # one [2B] encoder pass for both branches
-    mean_all, logvar_all = encode(
-        params,
-        jnp.concatenate([x, x], axis=0),
-        jnp.concatenate([mask, mask_p], axis=0),
-        cfg,
-    )
-    mean_q, mean_p = mean_all[:B], mean_all[B:]
-    logvar_q, logvar_p = logvar_all[:B], logvar_all[B:]
+    # one encoder pass for both branches. EDDI/pointnet families share the
+    # mask-independent [B, D, K] embedding between the branches
+    # (layers.pointnet_encoder_apply_2masks — the embed backward was 25% of
+    # the profiled MNIST training step); dense families run the [2B] stream.
+    if "EDDI" in cfg.vae_type or "mnist" in cfg.vae_type:
+        mean_all, logvar_all = layers.pointnet_encoder_apply_2masks(
+            params["encoder"], x, mask, mask_p)  # [2, B, L]
+        mean_q, mean_p = mean_all[0], mean_all[1]
+        logvar_q, logvar_p = logvar_all[0], logvar_all[1]
+        # same PRNG stream as the [2B, L] layout (row-major flatten agrees)
+        eps = jax.random.normal(kq, mean_all.shape)
+        eps_q, eps_p = eps[0], eps[1]
+    else:
+        mean_all, logvar_all = encode(
+            params,
+            jnp.concatenate([x, x], axis=0),
+            jnp.concatenate([mask, mask_p], axis=0),
+            cfg,
+        )
+        mean_q, mean_p = mean_all[:B], mean_all[B:]
+        logvar_q, logvar_p = logvar_all[:B], logvar_all[B:]
+        eps = jax.random.normal(kq, mean_all.shape)
+        eps_q, eps_p = eps[:B], eps[B:]
 
     # fused reparameterize + KL(q||N(0,I)) + KL(p||N(0,I)) + KL(q||p)
     # (Pallas on TPU; identical-math jnp path elsewhere)
-    eps = jax.random.normal(kq, mean_all.shape)
     z_q, z_p, KL_q, KL_p, KL_reg = fused_posterior_auto(
-        mean_q, logvar_q, mean_p, logvar_p, eps[:B], eps[B:]
+        mean_q, logvar_q, mean_p, logvar_p, eps_q, eps_p
     )
     x_mean_all, x_logvar_all = decode(params,
                                       jnp.concatenate([z_q, z_p], axis=0))

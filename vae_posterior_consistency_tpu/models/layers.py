@@ -83,12 +83,59 @@ def pointnet_encoder_apply(params, x, mask):
     K-contraction matmul the MXU tiles badly (K+2 ~ 12 lanes of a 128-wide
     systolic pass) and cuts the encoder's per-sample embed FLOPs ~10x at
     MNIST scale (784 features)."""
+    agg = _pointnet_pool(params, x, mask)
+    h = core.mlp_apply(params["pnp2"], agg, hidden_act="relu")
+    mean, logvar = jnp.split(h, 2, axis=-1)
+    return mean, logvar
+
+
+def _pointnet_embed(params, x):
+    """The collapsed per-feature embedding relu(x_d * A_d + C_d) — [B, D, K].
+    Mask-INDEPENDENT: only the pooling weights differ between the q/p
+    branches, so regularized training computes this once for both.
+
+    Under compute_dtype='bfloat16' the [B, D, K] intermediate is held in
+    bf16 — this tensor dominates the training step's HBM traffic at MNIST
+    scale (784 features; see profiles/mnist_eddi), and unlike the matmuls
+    (which XLA's DEFAULT TPU precision already runs as bf16-with-f32-
+    accumulate) elementwise chains only narrow when asked."""
     W1 = params["pnp1"]["layer0"]["w"]  # [K+2, K]
     b1 = params["pnp1"]["layer0"]["b"]  # [K]
     A = W1[0] + params["type_pars"] @ W1[1:-1]  # [D, K]
     C = params["type_bias"] * W1[-1] + b1  # [D, K]
-    emb = jax.nn.relu(x[..., None] * A + C)  # [B, D, K]
-    agg = jnp.sum(mask[..., None] * emb, axis=-2)  # [B, K]
+    if core._COMPUTE_DTYPE[-1] == "bfloat16":
+        return jax.nn.relu(x[..., None].astype(jnp.bfloat16)
+                           * A.astype(jnp.bfloat16)
+                           + C.astype(jnp.bfloat16))
+    return jax.nn.relu(x[..., None] * A + C)
+
+
+def _pointnet_pool(params, x, mask):
+    # pool in f32 regardless of the embed's storage dtype (bf16 emb halves
+    # the HBM traffic; the 784-term reduction still accumulates in f32 —
+    # the convert fuses into the reduce, nothing f32 is materialized)
+    emb = _pointnet_embed(params, x).astype(jnp.float32)
+    return jnp.sum(mask[..., None] * emb, axis=-2)  # [B, K]
+
+
+def pointnet_encoder_apply_2masks(params, x, mask_q, mask_p):
+    """Both posterior branches of a regularized EDDI model in one pass:
+    the [B, D, K] embedding is computed ONCE (it does not depend on the
+    mask) and pooled under each branch's mask; the trunk then runs on the
+    stacked [2, B, K] aggregate. Returns (mean, logvar) shaped [2, B, L]
+    (row 0 = q branch, row 1 = p branch).
+
+    This halves the embed's forward FLOPs/bytes AND its backward
+    reduction — at MNIST scale (D=784) the [2B, D, K] embed backward was
+    the single largest op in the profiled training step (25% of step
+    time, profiles/mnist_eddi). Values are identical to two independent
+    passes; only the batch-dim layout differs."""
+    # shared [B, D, K] embed (bf16-stored under compute_dtype='bfloat16');
+    # the pool contracts in f32 (see _pointnet_pool)
+    emb = _pointnet_embed(params, x).astype(jnp.float32)
+    masks = jnp.stack([mask_q, mask_p])  # [2, B, D]
+    agg = jnp.einsum("sbd,bdk->sbk", masks, emb,
+                     preferred_element_type=jnp.float32)
     h = core.mlp_apply(params["pnp2"], agg, hidden_act="relu")
     mean, logvar = jnp.split(h, 2, axis=-1)
     return mean, logvar

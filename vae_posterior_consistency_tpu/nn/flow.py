@@ -151,8 +151,30 @@ def context_to_pdf(context, dim, num_bins):
     return context.reshape(context.shape[:-1] + (dim, num_bins))
 
 
-def flow_forward(key, context, dim, num_bins=None, tails="clamp"):
-    """Sample z0 ~ N(0,I) and push it through the 3 spline layers.
+def _spline_stack(pdf_logits, tails, actnorm):
+    """The Flow's transform cascade as composite_apply layers: NUM_LAYERS
+    conditional splines, optionally interleaved with ActNorm affines — the
+    layer the reference defines but leaves commented out of its own Flow
+    (reference: src/models/VAE.py:1627-1657, 1827). Enabled per-run via
+    RunConfig.flow_actnorm."""
+
+    def spline(x, context, inverse):
+        return unconstrained_linear_spline(x, pdf_logits, inverse=inverse,
+                                           tails=tails)
+
+    stack = []
+    for i in range(NUM_LAYERS):
+        stack.append(spline)
+        if actnorm is not None:
+            stack.append(
+                lambda x, c, inv, p=actnorm[i]: actnorm_apply(p, x, c, inv))
+    return stack
+
+
+def flow_forward(key, context, dim, num_bins=None, tails="clamp",
+                 actnorm=None):
+    """Sample z0 ~ N(0,I) and push it through the 3 spline layers
+    (optionally ActNorm-interleaved — see _spline_stack).
 
     Returns (z, log_prob) with log_prob element-wise per latent dim
     (reference: src/models/VAE.py:1829-1841)."""
@@ -160,6 +182,10 @@ def flow_forward(key, context, dim, num_bins=None, tails="clamp"):
     pdf_logits = context_to_pdf(context, dim, num_bins)
     z = jax.random.normal(key, context.shape[:-1] + (dim,))
     log_prob = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
+    if actnorm is not None:
+        z, log_det = composite_apply(_spline_stack(pdf_logits, tails, actnorm),
+                                     z)
+        return z, log_prob - log_det
     log_det = jnp.zeros_like(z)
     for _ in range(NUM_LAYERS):
         z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=False,
@@ -242,7 +268,8 @@ def multiscale_apply(layers, x, context=None):
     return jnp.concatenate(outputs[::-1], axis=-1), log_det
 
 
-def flow_log_prob(z, context, dim, num_bins=None, tails="clamp"):
+def flow_log_prob(z, context, dim, num_bins=None, tails="clamp",
+                  actnorm=None):
     """Element-wise log q(z | context) via the inverse pass
     (reference: src/models/VAE.py:1843-1857).
 
@@ -253,6 +280,11 @@ def flow_log_prob(z, context, dim, num_bins=None, tails="clamp"):
     we implement the consistent form.)"""
     num_bins = num_bins or dim
     pdf_logits = context_to_pdf(context, dim, num_bins)
+    if actnorm is not None:
+        z, log_det = composite_apply(_spline_stack(pdf_logits, tails, actnorm),
+                                     z, inverse=True)
+        base_lp = -0.5 * jnp.square(z) - 0.5 * jnp.log(2.0 * jnp.pi)
+        return base_lp + log_det
     log_det = jnp.zeros_like(z)
     for _ in range(NUM_LAYERS):
         z, ld = unconstrained_linear_spline(z, pdf_logits, inverse=True,

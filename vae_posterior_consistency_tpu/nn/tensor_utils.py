@@ -1,10 +1,19 @@
 """Tensor/shape utilities mirroring the flow library's vendored support code
 (reference: src/models/VAE.py:1243-1426 — nflows-derived helpers).
 
-All are pure jnp re-implementations. `searchsorted` mirrors the reference's
-spline bin lookup (VAE.py:1392-1394); the spline itself inlines a clipped
-variant tuned to the clamp-tails default (nn/flow.py:linear_spline_inverse).
-The rest complete the vendored library's utility surface.
+All are pure jnp re-implementations. Production call sites:
+- `gaussian_kde_log_eval` — the aggregated-posterior density in
+  engine/inference.mutual_information_kde;
+- `searchsorted` — mirrors the reference's spline bin lookup
+  (VAE.py:1392-1394); the production spline inlines a clipped variant tuned
+  to the clamp-tails default (nn/flow.py:linear_spline_inverse).
+
+The remainder (`tile`, dim splitters, `random_orthogonal`, the binary-mask
+creators, the `is_*` type predicates) are REFERENCE-SURFACE-ONLY: they
+reproduce the vendored nflows block that the reference itself never calls
+from its production paths either (its `Flow` uses only the spline +
+searchsorted). They are kept — small, tested — so a user porting code
+written against the reference's vendored helpers finds the same names.
 """
 
 from __future__ import annotations
