@@ -122,6 +122,41 @@ def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
     return epochs * MNIST_ROWS / best
 
 
+def _bench_mnist_eval(batch: int = 1024, M: int = 10):
+    """Rows/s of the compiled M-rep MNIST-EDDI evaluation program — the
+    eval-side counterpart of _bench_mnist (reference loop:
+    src/experiment_main/evaluate.py:136-245; all M reps in one dispatch).
+    Keys vary per timing rep (client-side dedup otherwise fakes ~0 ms)."""
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine.evaluate import _split_eval_fn
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="reg_EDDI_mnist1", data_type="mnist",
+                    reg_type="kl_reg", batch_size=batch, latent_dim=10,
+                    K=10, M=M, alpha=1.0, p_missingness=30)
+    model = get_model(cfg)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(0, 1, (MNIST_ROWS, MNIST_DIM)), jnp.float32)
+    mask = jnp.asarray(rng.random((MNIST_ROWS, MNIST_DIM)) < 0.7, jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), cfg, MNIST_DIM)
+    eval_fn = _split_eval_fn(cfg, model, MNIST_ROWS, None)
+
+    def keys_for(rep):
+        base = jax.random.fold_in(jax.random.PRNGKey(3), rep)
+        return jax.vmap(lambda m: jax.random.fold_in(base, m))(jnp.arange(M))
+
+    agg = eval_fn(params, x, mask, keys_for(0))
+    float(agg["rmse"])  # readback barrier
+    best = None
+    for rep in range(1, 4):
+        t0 = time.perf_counter()
+        agg = eval_fn(params, x, mask, keys_for(rep))
+        float(agg["rmse"])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return M * MNIST_ROWS / best
+
+
 def main():
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
@@ -206,6 +241,12 @@ def main():
         out[f"{tag}_tflops"] = round(tf, 3)
         if peak is not None:
             out[f"{tag}_mfu"] = round(tf / peak, 5)
+
+    # eval-side counterpart: M-rep imputation evaluation rows/s (single
+    # q-branch forward per row per rep -> fwd-only matmul FLOPs)
+    ev_rps = _bench_mnist_eval()
+    out["mnist_eval_rows_per_sec"] = round(ev_rps, 1)
+    out["mnist_eval_tflops"] = round(ev_rps * (mnist_fps / 6) / 1e12, 3)
     print(json.dumps(out))
 
 
