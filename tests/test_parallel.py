@@ -401,3 +401,31 @@ def test_eval_vae_ensemble_matches_serial(tiny_dataset, tmp_path):
             for k, v in serial[stage].items():
                 np.testing.assert_allclose(ens[i][stage][k], v, rtol=1e-5,
                                            atol=1e-6, err_msg=f"{i}/{stage}/{k}")
+
+
+def test_eval_vae_ensemble_miwae_matches_serial(tiny_dataset, tmp_path):
+    """The vmapped ensemble eval must also reproduce the MIWAE family's
+    serial metrics (valid_k importance samples flow through num_samples)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import evaluate as ev
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        ensemble_replica,
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"vanilla_MIWAE{i}", data_type="synth_small",
+                      epoch=4, batch_size=32, latent_dim=4, M=2, train_k=3,
+                      valid_k=5) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    params_ens, _ = train_split_ensemble(datasets, cfgs[0], chunk_epochs=4)
+    ens = ev.eval_vae_ensemble(datasets, cfgs, params_ens, save=False)
+    for i, cfg in enumerate(cfgs):
+        serial = ev.eval_vae(datasets[i], cfg,
+                             params=ensemble_replica(params_ens, i),
+                             save=False)
+        for stage in serial:
+            for k, v in serial[stage].items():
+                np.testing.assert_allclose(ens[i][stage][k], v, rtol=1e-5,
+                                           atol=1e-6,
+                                           err_msg=f"{i}/{stage}/{k}")

@@ -29,6 +29,30 @@ if REPO not in sys.path:  # runnable without PYTHONPATH=.
     sys.path.insert(0, REPO)
 
 
+import contextlib
+import tempfile
+
+
+@contextlib.contextmanager
+def _ref_sandbox():
+    """Run the reference in a throwaway cwd with a Data symlink.
+
+    The reference's train/eval torch.save into relative 'experiments/...'
+    paths (src/experiment_main/train.py:120-131, evaluate.py:247-297) — run
+    from the repo root they silently overwrite the committed full-budget
+    artifacts with reduced-budget parity runs (this happened once). The
+    sandbox keeps its reads/writes self-contained; the harness reads the
+    artifacts back while still inside."""
+    old = os.getcwd()
+    d = tempfile.mkdtemp(prefix="vpc_ref_")
+    os.symlink(os.path.join(old, "Data"), os.path.join(d, "Data"))
+    os.chdir(d)
+    try:
+        yield d
+    finally:
+        os.chdir(old)
+
+
 def _stub_missing_modules():
     """The reference imports torchvision/matplotlib at module scope without
     using them in the paths we drive; stub what's absent."""
@@ -135,55 +159,65 @@ def run_reference(vae_type, data_type, epochs, missing_rate, batch_size, seed,
     _stub_missing_modules()
     sys.path.insert(0, REFERENCE)
     try:
-        from src.experiment_main.evaluate import eval_miwae as ref_eval_miwae
-        from src.experiment_main.evaluate import eval_vae as ref_eval_vae
-        from src.experiment_main.train import train as ref_train
-        from src.utils.loaders import data_loader as ref_data_loader
-        from src.utils.loaders import data_loader_mnist as ref_data_loader_mnist
-
-        if data_type == "mnist":
-            loader_train, loader_test, obs_dim = ref_data_loader_mnist(
-                "Data", vae_type, missing_rate, batch_size, data_type
-            )
-        else:
-            loader_train, loader_test, obs_dim = ref_data_loader(
-                "Data", vae_type, missing_rate, batch_size, data_type
-            )
-        tp = {"batch_size": batch_size, "patience": 100}
-        exp_type = "UCI_experiments_consistency_missingness"
-        _ensure_ref_dirs(exp_type, data_type, vae_type)
-        ref_train(
-            loader_train, missing_rate, obs_dim, 500, 10, 1, 10, data_type,
-            tp, exp_type, vae_type, train_k, 10, epochs,
-            alpha=1.0, p_missingness=30, reg_type=reg_type,
-        )
-        is_miwae = "MIWAE" in vae_type
-        eval_fn = ref_eval_miwae if is_miwae else ref_eval_vae
-        eval_fn(
-            [loader_train, loader_test], missing_rate, obs_dim, 500, 10, 2,
-            10, data_type, tp, exp_type, vae_type, epochs, valid_k, 10,
-            alpha=1.0, p_missingness=30, reg_type=reg_type,
-        )
-        # read back the artifacts the reference saved
-        from vae_posterior_consistency_tpu.config import RunConfig
-        from vae_posterior_consistency_tpu.engine import artifacts as art
-
-        cfg = RunConfig(vae_type=vae_type, data_type=data_type,
-                        missing_rate=missing_rate, alpha=1.0,
-                        p_missingness=30, reg_type=reg_type)
-        out = {}
-        for stage in ("train", "test"):
-            if is_miwae:
-                paths = art.eval_miwae_paths(cfg, stage, "experiments")
-            else:
-                paths = art.eval_vae_paths(cfg, stage, "experiments")
-            out[stage] = {
-                k: float(torch.load(p, weights_only=False))
-                for k, p in paths.items()
-            }
-        return out
+        with _ref_sandbox():
+            return _run_reference_inner(
+                vae_type, data_type, epochs, missing_rate, batch_size,
+                train_k, valid_k, reg_type)
     finally:
         sys.path.remove(REFERENCE)
+
+
+def _run_reference_inner(vae_type, data_type, epochs, missing_rate,
+                         batch_size, train_k, valid_k, reg_type):
+    import torch
+
+    from src.experiment_main.evaluate import eval_miwae as ref_eval_miwae
+    from src.experiment_main.evaluate import eval_vae as ref_eval_vae
+    from src.experiment_main.train import train as ref_train
+    from src.utils.loaders import data_loader as ref_data_loader
+    from src.utils.loaders import data_loader_mnist as ref_data_loader_mnist
+
+    if data_type == "mnist":
+        loader_train, loader_test, obs_dim = ref_data_loader_mnist(
+            "Data", vae_type, missing_rate, batch_size, data_type
+        )
+    else:
+        loader_train, loader_test, obs_dim = ref_data_loader(
+            "Data", vae_type, missing_rate, batch_size, data_type
+        )
+    tp = {"batch_size": batch_size, "patience": 100}
+    exp_type = "UCI_experiments_consistency_missingness"
+    _ensure_ref_dirs(exp_type, data_type, vae_type)
+    ref_train(
+        loader_train, missing_rate, obs_dim, 500, 10, 1, 10, data_type,
+        tp, exp_type, vae_type, train_k, 10, epochs,
+        alpha=1.0, p_missingness=30, reg_type=reg_type,
+    )
+    is_miwae = "MIWAE" in vae_type
+    eval_fn = ref_eval_miwae if is_miwae else ref_eval_vae
+    eval_fn(
+        [loader_train, loader_test], missing_rate, obs_dim, 500, 10, 2,
+        10, data_type, tp, exp_type, vae_type, epochs, valid_k, 10,
+        alpha=1.0, p_missingness=30, reg_type=reg_type,
+    )
+    # read back the artifacts the reference saved
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine import artifacts as art
+
+    cfg = RunConfig(vae_type=vae_type, data_type=data_type,
+                    missing_rate=missing_rate, alpha=1.0,
+                    p_missingness=30, reg_type=reg_type)
+    out = {}
+    for stage in ("train", "test"):
+        if is_miwae:
+            paths = art.eval_miwae_paths(cfg, stage, "experiments")
+        else:
+            paths = art.eval_vae_paths(cfg, stage, "experiments")
+        out[stage] = {
+            k: float(torch.load(p, weights_only=False))
+            for k, p in paths.items()
+        }
+    return out
 
 
 def run_ours(vae_type, data_type, epochs, missing_rate, batch_size, seed,
@@ -230,6 +264,8 @@ def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
     _stub_missing_modules()
     sys.path.insert(0, REFERENCE)
     restore = lambda: None  # noqa: E731
+    _sb = _ref_sandbox()  # reference writes relative experiments/ paths
+    _sb.__enter__()
     try:
         from src.experiment_main.evaluate import eval_vae_mnar as ref_eval
         from src.experiment_main.train import train as ref_train
@@ -277,6 +313,7 @@ def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
         return {"test": {"rmse": float(torch.load(path, weights_only=False))}}
     finally:
         restore()
+        _sb.__exit__(None, None, None)
         sys.path.remove(REFERENCE)
 
 
@@ -313,6 +350,8 @@ def run_reference_al(vae_type, data_type, epochs, missing_rate, batch_size,
     np.random.seed(seed)
     _stub_missing_modules()
     sys.path.insert(0, REFERENCE)
+    _sb = _ref_sandbox()  # reference writes relative experiments/ paths
+    _sb.__enter__()
     try:
         from src.experiment_main.evaluate import (
             active_learning_func as ref_al,
@@ -356,6 +395,7 @@ def run_reference_al(vae_type, data_type, epochs, missing_rate, batch_size,
         curve = torch.load(path, weights_only=False)
         return np.asarray(curve)[0, 0, :]  # scalar MSE per step
     finally:
+        _sb.__exit__(None, None, None)
         sys.path.remove(REFERENCE)
 
 
