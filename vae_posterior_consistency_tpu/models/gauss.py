@@ -28,6 +28,8 @@ Loss parity notes (canonical form at reference VAE.py:92-162):
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -104,10 +106,29 @@ def forward(params, x, mask, key, cfg):
             "x_logvar": x_logvar}
 
 
+#: closed-form constants for the fixed observation variance
+_INV_VAR = math.exp(-FIXED_X_LOGVAR)
+_LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
 def _masked_re(x, x_mean, x_logvar, m, axis=None):
     """Reconstruction NLL with the reference's mask-everything convention
-    (reference: VAE.py:422-426)."""
-    return neg_gaussian_log_likelihood(x * m, x_mean * m, x_logvar * m, axis=axis)
+    (reference: VAE.py:422-426).
+
+    This family's observation logvar is ALWAYS the fixed constant
+    FIXED_X_LOGVAR (decode(); reference VAE.py:379), and every mask here is
+    binary, so the generic form
+        -log N(x*m; mean*m, exp(logvar*m))
+    folds to the closed form
+        m * (0.5*e^{-c}*(x-mean)^2 + 0.5*c) + log sqrt(2pi)
+    — exact-math identical (m^2 = m), but it removes the per-cell
+    exp(logvar*m) transcendental over the [2B, obs_dim] grid from both the
+    forward and backward passes (three RE terms per regularized step). The
+    x_logvar argument is kept for signature parity and ignored."""
+    del x_logvar
+    per_cell = m * (0.5 * _INV_VAR * jnp.square(x - x_mean)
+                    + 0.5 * FIXED_X_LOGVAR) + _LOG_SQRT_2PI
+    return jnp.sum(per_cell, axis=axis)
 
 
 def _anneal(epoch, on):
