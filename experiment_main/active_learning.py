@@ -33,6 +33,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    maybe_profile,
     resolve_mesh,
     setup_parser,
 )
@@ -47,7 +48,14 @@ ALPHA_SWEEP = [1.0]
 def main():
     print("Devices:", jax.devices())
     write_default_configs("Data")
-    for record in iter_jsonl_configs("Data/imputation_args.json"):
+    records = list(iter_jsonl_configs("Data/imputation_args.json"))
+    probe = setup_parser(records[0], "impute_eval").parse_args()
+    with maybe_profile(probe):
+        _run_grid(records)
+
+
+def _run_grid(records):
+    for record in records:
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:
                 args = setup_parser(record, "impute_eval").parse_args()

@@ -30,6 +30,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    maybe_profile,
     resolve_mesh,
     setup_parser,
 )
@@ -55,7 +56,9 @@ def main():
     mesh = resolve_mesh(cfg)
     if mesh is not None:
         print(f"mesh={dict(mesh.shape)}: AIS chains dp-sharded")
-    results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae, mesh=mesh)
+    with maybe_profile(args):
+        results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae,
+                               mesh=mesh)
     for stage, res in results.items():
         print(f"  [{stage}] AIS log p(x) = {res.logw:.4f}")
 

@@ -32,6 +32,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    maybe_profile,
     resolve_mesh,
     setup_parser,
 )
@@ -148,6 +149,11 @@ def main():
     write_default_configs("Data")
     records = list(iter_jsonl_configs("Data/imputation_args.json"))
     probe = setup_parser(records[0], "impute_eval").parse_args()
+    with maybe_profile(probe):
+        _run_grid(records, probe)
+
+
+def _run_grid(records, probe):
     if probe.ensemble:
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:

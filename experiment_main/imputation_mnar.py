@@ -31,6 +31,7 @@ from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
     iter_jsonl_configs,
+    maybe_profile,
     resolve_mesh,
     setup_parser,
 )
@@ -53,7 +54,14 @@ NOT_MIWAE_TYPE = "changed"
 def main():
     print("Devices:", jax.devices())
     write_default_configs("Data")
-    for record in iter_jsonl_configs("Data/imputation_args_mnar.json"):
+    records = list(iter_jsonl_configs("Data/imputation_args_mnar.json"))
+    probe = setup_parser(records[0], "impute_eval").parse_args()
+    with maybe_profile(probe):
+        _run_grid(records)
+
+
+def _run_grid(records):
+    for record in records:
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:
                 args = setup_parser(record, "impute_eval").parse_args()

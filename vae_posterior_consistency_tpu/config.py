@@ -64,7 +64,28 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             "-ensemble", type=str2bool, default=False,
             help="train each family's split triple as one vmapped ensemble",
         )
+    if "profile" not in arguments:
+        # capture a jax.profiler trace of the run (view with
+        # TensorBoard/Perfetto; utils/logging.profile_trace)
+        parser.add_argument(
+            "-profile", type=str, default="",
+            help="write a jax.profiler trace of the run to this directory",
+        )
     return parser
+
+
+def maybe_profile(args):
+    """Context manager: a jax.profiler trace when `-profile DIR` was passed,
+    else a no-op (the reference has no profiling story at all — SURVEY §5)."""
+    import contextlib
+
+    from vae_posterior_consistency_tpu.utils.logging import profile_trace
+
+    spec = getattr(args, "profile", "") or ""
+    if spec:
+        print(f"[profile] tracing to {spec}", flush=True)
+        return profile_trace(spec)
+    return contextlib.nullcontext()
 
 
 def iter_jsonl_configs(path: str) -> Iterator[dict]:
