@@ -429,3 +429,24 @@ def test_eval_vae_ensemble_miwae_matches_serial(tiny_dataset, tmp_path):
                 np.testing.assert_allclose(ens[i][stage][k], v, rtol=1e-5,
                                            atol=1e-6,
                                            err_msg=f"{i}/{stage}/{k}")
+
+
+def test_train_sharded_eddi_family(tiny_dataset):
+    """The dp/tp-sharded engine must handle the EDDI/pointnet family — the
+    MNIST-scale workload that most wants the mesh — including the shared
+    q/p embed path (type_pars [D, K] shards by the generic shape rules)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+    from vae_posterior_consistency_tpu.parallel.train_parallel import (
+        train_sharded,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_EDDI1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_EDDI1", reg_type="kl_reg", epoch=6,
+                    batch_size=32, latent_dim=4, K=6, p_missingness=30,
+                    data_type="synth_small")
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    params, hist = train_sharded(ds, cfg, mesh, chunk_epochs=6, save=False)
+    hist = np.asarray(hist)
+    assert hist.shape == (6,) and np.isfinite(hist).all()
+    assert hist[-1] < hist[0]  # it learns
