@@ -123,22 +123,51 @@ def run_suite_ensembles(records, missing, alpha):
                     print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))
             continue
+        n_seeds = max(1, int(getattr(args, "seeds", 1)))
+        seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
         print(f"=== ensemble train {names} (missing={missing}, "
-              f"alpha={alpha}) ===", flush=True)
+              f"alpha={alpha}{seed_tag}) ===", flush=True)
         t0 = _time.perf_counter()
         params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0],
-                                                       mesh=mesh)
+                                                       mesh=mesh,
+                                                       n_seeds=n_seeds)
         _jax.block_until_ready(_hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
+        S0 = len(cfgs)
+        for row in range(S0 * n_seeds):
+            s, i = divmod(row, S0)
+            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, row))
+            path = checkpoint.checkpoint_path(cfgs[i], "experiments")
+            if s > 0:  # extra seeds: suffixed, reference contract untouched
+                path += f".seed{s}"
+            checkpoint.save(p_i, path)
+        all_results = eval_engine.eval_vae_ensemble(
+            datasets * n_seeds, cfgs * n_seeds, params_ens, save=False)
+        from vae_posterior_consistency_tpu.engine.evaluate import (
+            _save_eval_artifacts,
+        )
+        from vae_posterior_consistency_tpu.models import get_model
+
+        model = get_model(cfgs[0])
         for i, cfg in enumerate(cfgs):
-            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
-            checkpoint.save(p_i, checkpoint.checkpoint_path(cfg, "experiments"))
-        all_results = eval_engine.eval_vae_ensemble(datasets, cfgs, params_ens)
-        for cfg, results in zip(cfgs, all_results):
-            for stage, metrics in results.items():
-                print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
-                    f"{k}={v:.5f}" for k, v in metrics.items()))
+            # seed 0 keeps the reference artifact contract
+            for stage, metrics in all_results[i].items():
+                _save_eval_artifacts(cfg, model, stage, metrics,
+                                     "experiments")
+            per_seed = [all_results[s * S0 + i] for s in range(n_seeds)]
+            for stage in per_seed[0]:
+                line = []
+                for k in per_seed[0][stage]:
+                    vals = [ps[stage][k] for ps in per_seed]
+                    mu = sum(vals) / len(vals)
+                    if n_seeds > 1:
+                        sd = (sum((v - mu) ** 2 for v in vals)
+                              / len(vals)) ** 0.5
+                        line.append(f"{k}={mu:.5f}±{sd:.5f}")
+                    else:
+                        line.append(f"{k}={mu:.5f}")
+                print(f"  {cfg.vae_type} [{stage}] " + "  ".join(line))
         t_eval = _time.perf_counter() - t0
         print(f"  [timing] train {t_train:.1f}s  eval+save {t_eval:.1f}s",
               flush=True)

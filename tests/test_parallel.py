@@ -450,3 +450,33 @@ def test_train_sharded_eddi_family(tiny_dataset):
     hist = np.asarray(hist)
     assert hist.shape == (6,) and np.isfinite(hist).all()
     assert hist[-1] < hist[0]  # it learns
+
+
+def test_split_ensemble_n_seeds(tiny_dataset):
+    """n_seeds > 1 replicates the split axis inside the same program: row
+    s*S0+i is seed s of split i, every row an independent run (own init +
+    streams). Seed rows of the same split must differ from each other and
+    the seed-0 rows must match a plain n_seeds=1 run exactly."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=6, batch_size=32, latent_dim=4,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    p2, h2 = train_split_ensemble(datasets, cfgs[0], chunk_epochs=6,
+                                  n_seeds=2)
+    assert h2.shape == (6, 6)
+    assert np.isfinite(h2).all()
+    # seed replicas of the same split are different runs
+    assert not np.allclose(h2[0], h2[3])
+    # the seed-0 block reproduces the plain run (same replica indices 0..2)
+    p1, h1 = train_split_ensemble(datasets, cfgs[0], chunk_epochs=6)
+    np.testing.assert_allclose(h2[:3], h1, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p2),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a)[:3], np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -64,6 +64,16 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             "-ensemble", type=str2bool, default=False,
             help="train each family's split triple as one vmapped ensemble",
         )
+    if "seeds" not in arguments:
+        # ensemble-mode seed replication: train N seed replicas of every
+        # config inside the SAME compiled split-ensemble program and report
+        # mean +/- std per config (seed 0 keeps the reference artifact
+        # contract; extra seeds save under checkpoint.seed{s} suffixes).
+        parser.add_argument(
+            "-seeds", type=int, default=1,
+            help="with -ensemble true: seed replicas per config "
+                 "(error-barred grid in one program per family)",
+        )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with
         # TensorBoard/Perfetto; utils/logging.profile_trace)

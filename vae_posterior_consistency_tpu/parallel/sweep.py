@@ -269,7 +269,7 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
-                         mesh=None):
+                         mesh=None, n_seeds: int = 1):
     """Train one replica per DATA SPLIT of the same model family in a single
     batched program — the reference's `vae_type` digit axis
     (reg_vae1/2/3, serial records in Data/imputation_args.json, reference
@@ -282,8 +282,16 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     permutation couples nothing. Returns (ensemble_params, loss_history
     [n_splits, epochs]); unstack leaves with `ensemble_replica` to save
     per-config checkpoints.
+
+    `n_seeds > 1` replicates the whole split axis: the [n_seeds * n_splits]
+    replica rows hold seed s of split i at row s * n_splits + i (each row
+    its own init + mask/model streams via its replica index), turning the
+    grid into an error-barred replication in the SAME single program.
+    Returned params/history keep the full seed-major row order.
     """
     model = get_model(cfg)
+    if n_seeds > 1:
+        datasets = list(datasets) * n_seeds
     S = len(datasets)
     shapes = {tuple(d.train.x.shape) for d in datasets}
     if len(shapes) > 1:
