@@ -82,10 +82,10 @@ def _mnist_flops_per_sample(latent=10, K=10, obs_dim=MNIST_DIM) -> float:
     return 2 * fwd * 3  # two branches (q/p); fwd + ~2x backward
 
 
-def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
-    """Samples/s of the compiled MNIST-EDDI training loop at the given batch
-    and matmul dtype (same measurement protocol as main(): readback-synced,
-    per-rep key variation via the epoch counter, best of 3)."""
+def _mnist_setup(batch: int, compute_dtype: str):
+    """Build the compiled MNIST-EDDI training runner + initial flat state
+    (shared by _bench_mnist and tools/bench_mnist.py so the regime under
+    test is defined in exactly one place)."""
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
     from vae_posterior_consistency_tpu.models import get_model
@@ -104,21 +104,37 @@ def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
     runner = _build_epoch_runner(cfg, data, mask, model,
                                  template_params=params)
     pflat = runner.to_flat(params)
-    opt_state = runner.tx.init(pflat)
-    key = jax.random.PRNGKey(1)
+    return runner, pflat, runner.tx.init(pflat)
 
-    pflat, opt_state, losses = runner(pflat, opt_state, key, jnp.asarray(0),
-                                      epochs)
-    float(losses[-1])  # readback barrier (axon quirk — see main())
-    best, done = None, epochs
-    for _ in range(3):
+
+def _timed_chunks(runner, pflat, opt_state, epochs, reps: int = 3,
+                  start_epoch: int = 0):
+    """The one measurement protocol (CLAUDE.md axon quirks): readback-synced
+    barriers, the epoch counter varies per rep so client-side dedup can't
+    fake ~0 ms, best of `reps`. Assumes the (pflat, opt_state) shapes were
+    already warmed at this chunk size. Returns (best_seconds, state...)."""
+    key = jax.random.PRNGKey(1)
+    best, done = None, start_epoch
+    for _ in range(reps):
         t0 = time.perf_counter()
         pflat, opt_state, losses = runner(pflat, opt_state, key,
                                           jnp.asarray(done), epochs)
-        float(losses[-1])
+        float(losses[-1])  # readback barrier
         dt = time.perf_counter() - t0
         done += epochs
         best = dt if best is None else min(best, dt)
+    return best, pflat, opt_state, float(losses[-1])
+
+
+def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
+    """Samples/s of the compiled MNIST-EDDI training loop at the given batch
+    and matmul dtype."""
+    runner, pflat, opt_state = _mnist_setup(batch, compute_dtype)
+    pflat, opt_state, losses = runner(pflat, opt_state, jax.random.PRNGKey(1),
+                                      jnp.asarray(0), epochs)
+    float(losses[-1])  # compile + warmup readback (axon quirk — see main())
+    best, _, _, _ = _timed_chunks(runner, pflat, opt_state, epochs,
+                                  start_epoch=epochs)
     return epochs * MNIST_ROWS / best
 
 

@@ -111,11 +111,16 @@ def run_suite_ensembles(records, missing, alpha):
         ]
         names = [c.vae_type for c in cfgs]
         train_shapes = {tuple(d.train.x.shape) for d in datasets}
-        test_shapes = {tuple(d.test.x.shape) for d in datasets
-                       if d.test is not None}
+        # None-ness must agree too: a mixed None/non-None group would make
+        # eval_vae_ensemble skip the test stage for EVERY config in the group
+        test_shapes = {None if d.test is None else tuple(d.test.x.shape)
+                       for d in datasets}
         if len(train_shapes) > 1 or len(test_shapes) > 1:
-            print(f"--- {names}: unequal split shapes, serial fallback ---",
-                  flush=True)
+            n_seeds = max(1, int(getattr(args, "seeds", 1)))
+            note = (" (-seeds not applied on this path)"
+                    if n_seeds > 1 else "")
+            print(f"--- {names}: unequal split shapes, serial "
+                  f"fallback{note} ---", flush=True)
             for cfg, ds in zip(cfgs, datasets):
                 train_engine.train(ds, cfg, log_fn=epoch_logger(cfg.epoch))
                 results = eval_engine.eval_vae(ds, cfg)

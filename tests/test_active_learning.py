@@ -125,3 +125,31 @@ def test_al_mesh_padded_rows(setup, tmp_path):
     for r in range(n):
         assert sorted(acts[r].astype(int)) == list(range(D - 1))
     assert np.isfinite(np.asarray(out["information_curve"])).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_al_mesh_cache_keyed_on_true_rows(setup):
+    """Two padded runs sharing n_run but differing in TRUE row count must not
+    share a compiled program: row_weights (a function of n_test) is baked
+    into the closure, so a stale cache hit would exclude real rows from the
+    predictive-MSE means. Regression: the cache key once used only n_run."""
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg, params, x, mask = setup
+    n, D = x.shape  # n=9 -> pads to 12 on dp=4
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    x10 = jnp.concatenate([x, x[:1]])  # n=10 -> also pads to 12
+    m10 = jnp.concatenate([mask, mask[:1]])
+
+    al._AL_CACHE.clear()
+    ref10 = al.active_learning_func(None, x10, m10, cfg, Repeat=1,
+                                    params=params, save=False, mesh=mesh)
+    al._AL_CACHE.clear()
+    al.active_learning_func(None, x, mask, cfg, Repeat=1, params=params,
+                            save=False, mesh=mesh)  # pollute with n_test=9
+    out10 = al.active_learning_func(None, x10, m10, cfg, Repeat=1,
+                                    params=params, save=False, mesh=mesh)
+    assert len(al._AL_CACHE) == 2  # distinct programs per true row count
+    np.testing.assert_allclose(np.asarray(out10["information_curve"]),
+                               np.asarray(ref10["information_curve"]),
+                               rtol=1e-6, atol=1e-7)

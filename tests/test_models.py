@@ -346,3 +346,16 @@ def test_compute_dtype_bfloat16_trains_equivalently():
     # both trajectories decrease and stay within a few percent of each other
     assert hist["bfloat16"][-1] < hist["bfloat16"][0]
     np.testing.assert_allclose(hist["bfloat16"], hist["float32"], rtol=0.05)
+
+
+def test_compute_dtype_misspelling_rejected():
+    """'bf16' etc. must raise, not silently run f32 while claiming mixed
+    precision (nn/core.dense tests the exact string 'bfloat16')."""
+    import pytest
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="reg_vae1", compute_dtype="bf16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        get_model(cfg)

@@ -28,49 +28,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_default_prng_impl", "rbg")
 
 import jax.numpy as jnp
-import numpy as np
 
-from bench import MNIST_DIM, MNIST_ROWS, _mnist_flops_per_sample, _peak_tflops
-
-
-def build(batch: int, dtype: str, epochs: int):
-    from vae_posterior_consistency_tpu.config import RunConfig
-    from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
-    from vae_posterior_consistency_tpu.models import get_model
-
-    cfg = RunConfig(vae_type="reg_EDDI_mnist1", data_type="mnist",
-                    reg_type="kl_reg", batch_size=batch, latent_dim=10, K=10,
-                    alpha=1.0, p_missingness=30, compute_dtype=dtype)
-    model = get_model(cfg)
-    rng = np.random.default_rng(1)
-    data = jnp.asarray(rng.uniform(0, 1, (MNIST_ROWS, MNIST_DIM)), jnp.float32)
-    mask = jnp.asarray(rng.random((MNIST_ROWS, MNIST_DIM)) < 0.7, jnp.float32)
-    params = model.init(jax.random.PRNGKey(0), cfg, MNIST_DIM)
-    runner = _build_epoch_runner(cfg, data, mask, model,
-                                 template_params=params)
-    pflat = runner.to_flat(params)
-    return runner, pflat, runner.tx.init(pflat)
+from bench import (
+    MNIST_DIM,
+    MNIST_ROWS,
+    _mnist_flops_per_sample,
+    _mnist_setup,
+    _peak_tflops,
+    _timed_chunks,
+)
 
 
 def measure(batch: int, dtype: str, epochs: int = 30):
-    runner, pflat, opt_state = build(batch, dtype, epochs)
-    key = jax.random.PRNGKey(1)
+    """One sweep point: (samples/s, compile_seconds, final_loss) via the
+    shared bench.py setup + timing protocol."""
+    runner, pflat, opt_state = _mnist_setup(batch, dtype)
     t0 = time.perf_counter()
-    pflat, opt_state, losses = runner(pflat, opt_state, key, jnp.asarray(0),
-                                      epochs)
+    pflat, opt_state, losses = runner(pflat, opt_state, jax.random.PRNGKey(1),
+                                      jnp.asarray(0), epochs)
     float(losses[-1])  # readback barrier
     t_compile = time.perf_counter() - t0
-    best, done = None, epochs
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                          jnp.asarray(done), epochs)
-        float(losses[-1])
-        dt = time.perf_counter() - t0
-        done += epochs
-        best = dt if best is None else min(best, dt)
-    sps = epochs * MNIST_ROWS / best
-    return sps, t_compile, float(losses[-1])
+    best, pflat, opt_state, loss = _timed_chunks(runner, pflat, opt_state,
+                                                 epochs, start_epoch=epochs)
+    return epochs * MNIST_ROWS / best, t_compile, loss
 
 
 def main():
@@ -98,7 +78,7 @@ def main():
         # trace the steady-state best configuration
         batch, dtype = max(results, key=lambda r: r[3])[:2]
         print(f"tracing batch={batch} dtype={dtype} -> {profile_dir}")
-        runner, pflat, opt_state = build(batch, dtype, 30)
+        runner, pflat, opt_state = _mnist_setup(batch, dtype)
         key = jax.random.PRNGKey(1)
         pflat, opt_state, losses = runner(pflat, opt_state, key,
                                           jnp.asarray(0), 30)

@@ -30,6 +30,7 @@ if REPO not in sys.path:  # runnable without PYTHONPATH=.
 
 
 import contextlib
+import shutil
 import tempfile
 
 
@@ -51,6 +52,7 @@ def _ref_sandbox():
         yield d
     finally:
         os.chdir(old)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _stub_missing_modules():

@@ -256,7 +256,10 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
     # selects data files — engine/train._RUNNER_CACHE has the rationale)
     from vae_posterior_consistency_tpu.engine.train import _program_cache_key
 
-    al_key = _program_cache_key(cfg, n_run, D) + (row_weights is not None,)
+    # n_test is part of the key: row_weights (a function of n_test, not just
+    # n_run) is BAKED into the compiled closure, so two padded runs sharing
+    # n_run but differing in true row count must not share a program
+    al_key = _program_cache_key(cfg, n_run, D) + (n_test,)
     run_all = _AL_CACHE.get(al_key)
     if run_all is None:
         runner = make_al_runner(cfg, model, D, n_run,

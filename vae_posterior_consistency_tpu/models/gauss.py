@@ -46,10 +46,18 @@ from vae_posterior_consistency_tpu.ops.math import (
 MAX_EPOCH_ANNEAL = 2800.0
 
 
+def _is_pointnet(cfg) -> bool:
+    """The single pointnet-dispatch rule (EDDI/mnist families use the
+    per-feature embedding encoder; reference substring precedence,
+    models/registry.parse_vae_type). Shared by _encoder_fns and
+    train_loss's 2-mask fast path — keep them routing identically."""
+    return "EDDI" in cfg.vae_type or "mnist" in cfg.vae_type
+
+
 def _encoder_fns(cfg):
     info = cfg.info
     mnist = cfg.data_type == "mnist"
-    if "EDDI" in cfg.vae_type or "mnist" in cfg.vae_type:
+    if _is_pointnet(cfg):
         trunk = (500, 500, 200) if mnist else (100, 50)
 
         def init(key, obs_dim):
@@ -166,7 +174,7 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg):
     # mask-independent [B, D, K] embedding between the branches
     # (layers.pointnet_encoder_apply_2masks — the embed backward was 25% of
     # the profiled MNIST training step); dense families run the [2B] stream.
-    if "EDDI" in cfg.vae_type or "mnist" in cfg.vae_type:
+    if _is_pointnet(cfg):
         mean_all, logvar_all = layers.pointnet_encoder_apply_2masks(
             params["encoder"], x, mask, mask_p)  # [2, B, L]
         mean_q, mean_p = mean_all[0], mean_all[1]

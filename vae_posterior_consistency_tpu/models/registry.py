@@ -127,6 +127,13 @@ def get_model(cfg: RunConfig) -> ModelDef:
     info = parse_vae_type(cfg.vae_type)
     base = _FAMILY_TO_DEF[info.family]
     model = dataclasses.replace(base, uses_p_branch=info.regularized)
+    if cfg.compute_dtype not in ("float32", "bfloat16"):
+        # nn/core.dense tests for the exact string 'bfloat16'; any other
+        # spelling ('bf16', 'bfloat') would silently run float32 while
+        # claiming mixed precision
+        raise ValueError(
+            f"compute_dtype must be 'float32' or 'bfloat16', "
+            f"got {cfg.compute_dtype!r}")
     if cfg.compute_dtype != "float32":
         model = dataclasses.replace(
             model,
