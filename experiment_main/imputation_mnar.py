@@ -80,6 +80,11 @@ def _run_grid(records):
                 )
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
+                n_seeds = max(1, int(getattr(args, "seeds", 1)))
+                if n_seeds > 1:
+                    _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing,
+                                       alpha, tag)
+                    continue
                 print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
                       f"alpha={alpha}){tag} ===", flush=True)
                 t0 = time.perf_counter()
@@ -105,6 +110,38 @@ def _run_grid(records):
                 print(f"  rmse={rmse:.5f}")
                 print(f"  [timing] train {t_train:.1f}s  "
                       f"eval {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag):
+    """-seeds N: train N independent seed replicas of this MNAR config as ONE
+    vmapped program (parallel/sweep.train_seed_ensemble; replicas dp-shard
+    over a mesh with padding), evaluate all replicas in one compiled MNAR
+    pass, and report mean±std. Seed 0 keeps the reference checkpoint/artifact
+    contract; extra seeds save under .seed{s} suffixes (same convention as
+    imputation.py's -ensemble -seeds)."""
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
+          f"alpha={alpha}, seeds={n_seeds}){tag} ===", flush=True)
+    t0 = time.perf_counter()
+    params_ens, hist = sweep.train_seed_ensemble(
+        dataset, cfg, seeds=[cfg.seed + s for s in range(n_seeds)], mesh=mesh)
+    jax.block_until_ready(hist)
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    path = checkpoint.checkpoint_path(cfg, "experiments")
+    for s in range(n_seeds):
+        p_s = jax.device_get(sweep.ensemble_replica(params_ens, s))
+        checkpoint.save(p_s, path if s == 0 else f"{path}.seed{s}")
+    rmses = eval_engine.eval_vae_mnar_ensemble(
+        dataset.train.x, dataset.train.mask, cfg, params_ens)
+    mu = float(rmses.mean())
+    sd = float(rmses.std())
+    print(f"  rmse={mu:.5f}±{sd:.5f}  "
+          + " ".join(f"s{s}={v:.5f}" for s, v in enumerate(rmses)))
+    print(f"  [timing] train {t_train:.1f}s  "
+          f"eval+save {time.perf_counter() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

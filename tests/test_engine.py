@@ -131,6 +131,31 @@ def test_mnar_pipeline(tiny_dataset, tmp_path):
     assert os.path.exists(art.eval_mnar_paths(cfg, str(tmp_path))["rmse"])
 
 
+def test_mnar_ensemble_eval_matches_serial(tiny_dataset, tmp_path):
+    """eval_vae_mnar_ensemble (one vmapped program for all seed replicas)
+    must reproduce per-replica serial eval_vae_mnar exactly: same key
+    stream, same math, replicas differ only by parameters."""
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    cfg = _cfg(tmp_path, vae_type="vanilla_notMIWAE1", epoch=3, train_k=2,
+               valid_k=3, p_missingness=50)
+    ds = loaders.data_loader_mnar(tiny_dataset, cfg.vae_type, cfg.missing_rate,
+                                  cfg.batch_size, "synth_small")
+    params_ens, _ = sweep.train_seed_ensemble(ds, cfg, seeds=[0, 1],
+                                              chunk_epochs=3)
+    rmses = evaluate.eval_vae_mnar_ensemble(
+        ds.train.x, ds.train.mask, cfg, params_ens,
+        experiments_root=str(tmp_path))
+    assert rmses.shape == (2,) and np.isfinite(rmses).all()
+    for s in range(2):
+        p_s = sweep.ensemble_replica(params_ens, s)
+        serial = evaluate.eval_vae_mnar(ds.train.x, ds.train.mask, cfg,
+                                        params=p_s, save=False)
+        np.testing.assert_allclose(rmses[s], serial, rtol=1e-5, atol=1e-6)
+    # seed-0 artifact lands at the reference path
+    assert os.path.exists(art.eval_mnar_paths(cfg, str(tmp_path))["rmse"])
+
+
 def test_checkpoint_name_mangling_parity():
     """Character-for-character parity with the reference's checkpoint naming
     (src/experiment_main/train.py:120-131)."""

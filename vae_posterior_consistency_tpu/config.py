@@ -71,8 +71,9 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
         # contract; extra seeds save under checkpoint.seed{s} suffixes).
         parser.add_argument(
             "-seeds", type=int, default=1,
-            help="with -ensemble true: seed replicas per config "
-                 "(error-barred grid in one program per family)",
+            help="seed replicas per config, trained as one vmapped ensemble "
+                 "program (error-barred metrics; on imputation.py requires "
+                 "-ensemble true)",
         )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with

@@ -284,3 +284,53 @@ def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
         artifacts.save_tensor(rmse, paths["rmse"])
         artifacts.log_metric(cfg, "rmse_mnar", rmse, "test", experiments_root)
     return rmse
+
+
+def eval_vae_mnar_ensemble(data, mask, cfg: RunConfig, params_ens,
+                           experiments_root: str = "experiments", key=None,
+                           save: bool = True):
+    """MNAR evaluation of an [S]-replica seed ensemble
+    (parallel/sweep.train_seed_ensemble) in ONE compiled program: the
+    per-replica M-rep full-matrix imputation vmapped over the stacked
+    params. Same math and key stream as eval_vae_mnar (the key is shared
+    across replicas, exactly as S serial runs of the same config would
+    derive it); replicas differ only by their trained parameters.
+
+    Saves the seed-0 replica's RMSE under the reference artifact path
+    (the reference CLI has no seed-replication equivalent — reference
+    single-run loop: src/experiment_main/evaluate.py:13-69).
+    Returns a [S] numpy array of per-replica RMSEs.
+    """
+    import numpy as np
+
+    model = get_model(cfg)
+    data = jnp.asarray(data, jnp.float32)
+    mask = jnp.asarray(mask, jnp.float32)
+    key = jax.random.PRNGKey(cfg.seed + 2) if key is None else key
+    num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
+
+    def one_rep(params, k):
+        k_maskp, k_model = jax.random.split(k)
+        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
+        out = model.eval_step(params, data, mask, mask_p, k_model, cfg,
+                              **({"num_samples": num_samples}
+                                 if num_samples else {}))
+        hole = 1.0 - mask
+        se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
+        return jnp.sqrt(se / jnp.sum(hole))
+
+    @jax.jit
+    def all_replicas(params_ens, keys):
+        def replica(p):
+            return jnp.mean(jax.lax.map(lambda k: one_rep(p, k), keys))
+
+        return jax.vmap(replica)(params_ens)
+
+    keys = jax.vmap(lambda m: jax.random.fold_in(key, m))(jnp.arange(cfg.M))
+    rmses = np.asarray(jax.device_get(all_replicas(params_ens, keys)))
+    if save:
+        paths = artifacts.eval_mnar_paths(cfg, experiments_root)
+        artifacts.save_tensor(float(rmses[0]), paths["rmse"])
+        artifacts.log_metric(cfg, "rmse_mnar", float(rmses[0]), "test",
+                             experiments_root)
+    return rmses

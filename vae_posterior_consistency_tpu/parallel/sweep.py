@@ -233,6 +233,14 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
     regime). With `mesh`, the replica axis shards over the mesh's `dp`
     axis (see shard_ensemble)."""
     model = get_model(cfg)
+    seeds = list(seeds)
+    S = len(seeds)
+    # replica padding (same scheme as train_split_ensemble): rows shard over
+    # dp, so pad S to the next multiple by repeating the last seed; padded
+    # rows train as dead weight and callers slice [:S]
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        seeds = seeds + [seeds[-1]] * ((-S) % dp)
     seeds = jnp.asarray(seeds, jnp.uint32)
     init_keys = jax.vmap(jax.random.PRNGKey)(seeds)
     Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
@@ -254,9 +262,11 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     Returns (ensemble_params pytree [S, ...], loss_history [n_seeds, epochs]).
     Each replica gets its own init and its own shuffling/mask PRNG stream.
     With `mesh`, replicas shard across the mesh's `dp` axis (zero
-    collectives — replicas are independent; see shard_ensemble).
+    collectives — replicas are independent; see shard_ensemble), padding
+    S to a multiple of dp internally (padded rows are sliced off here).
     """
     model = get_model(cfg)
+    S = len(list(seeds))
     run_chunk, Pmat, opt_state = build_seed_ensemble_runner(dataset, cfg,
                                                             seeds, mesh=mesh)
     from jax.flatten_util import ravel_pytree
@@ -265,7 +275,7 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
                                          dataset.obs_dim))
     Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
-    return jax.vmap(unravel)(Pmat), hist
+    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
