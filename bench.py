@@ -232,11 +232,17 @@ def main():
         out["mfu"] = round(tflops / peak, 6)
         out["peak_tflops_assumed"] = peak
 
-    # ensemble regime: the same flagship config trained as a 32-seed vmapped
+    # ensemble regime: the same flagship config trained as a 128-seed vmapped
     # ensemble (parallel/sweep.py) — the sweep-parallel execution mode that
-    # actually loads the MXU (tools/bench_scaling.py has the batch sweep)
-    ens_sps = _bench_seed_ensemble(n_seeds=32)
+    # actually loads the MXU (tools/bench_scaling.py has the batch sweep).
+    # 128 replicas ~ the production sweep size (39 configs x 4 seeds); the
+    # replica-count sweep measured 2026-08-17 plateaus here (32: 28.3M, 64:
+    # 28.6M, 128: 33.2M, 256: 33.6M, 512: 25.3M samples/s — the batch-64
+    # 12-dim inner matmuls bound the regime, not replica count)
+    ens_n = 128
+    ens_sps = _bench_seed_ensemble(n_seeds=ens_n)
     ens_tflops = ens_sps * fps / 1e12
+    out["ensemble_n_seeds"] = ens_n
     out["ensemble_samples_per_sec"] = round(ens_sps, 1)
     out["ensemble_tflops"] = round(ens_tflops, 4)
     if peak is not None:
