@@ -122,8 +122,22 @@ def run_suite_ensembles(records, missing, alpha):
             print(f"--- {names}: unequal split shapes, serial "
                   f"fallback{note} ---", flush=True)
             for cfg, ds in zip(cfgs, datasets):
-                train_engine.train(ds, cfg, log_fn=epoch_logger(cfg.epoch))
-                results = eval_engine.eval_vae(ds, cfg)
+                # the fallback still honors -mesh, same routing as the
+                # non-ensemble serial grid (_run_grid)
+                if mesh is not None:
+                    from vae_posterior_consistency_tpu.engine.evaluate_sharded import (  # noqa: E501
+                        eval_vae_sharded,
+                    )
+                    from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
+                        train_sharded,
+                    )
+
+                    train_sharded(ds, cfg, mesh, save=True)
+                    results = eval_vae_sharded(ds, cfg, mesh)
+                else:
+                    train_engine.train(ds, cfg,
+                                       log_fn=epoch_logger(cfg.epoch))
+                    results = eval_engine.eval_vae(ds, cfg)
                 for stage, metrics in results.items():
                     print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))
@@ -193,6 +207,11 @@ def _run_grid(records, probe):
             for alpha in ALPHA_SWEEP:
                 run_suite_ensembles(records, missing, alpha)
         return
+    if max(1, int(getattr(probe, "seeds", 1))) > 1:
+        print("[warning] -seeds is only applied in ensemble mode on this "
+              "entry point; running the serial grid single-seed. Use "
+              "-ensemble true -seeds N for the error-barred grid.",
+              flush=True)
     for record in records:
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:

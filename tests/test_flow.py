@@ -138,3 +138,28 @@ def test_flow_actnorm_roundtrip_and_training():
         lambda p, k: model.train_loss(p, x, m, m, k, jnp.float32(1.0), cfg)
     )(params, jax.random.PRNGKey(5))
     assert np.isfinite(float(loss))
+
+
+def test_flow_actnorm_flag_checkpoint_mismatch_raises():
+    """A flow_actnorm flag that disagrees with the checkpoint's structure is
+    a hard error in BOTH directions (silently running the other stack would
+    mislabel results relative to the config)."""
+    import jax
+    import pytest
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.models import flow_vae
+
+    cfg_on = RunConfig(vae_type="vanilla_flow1", latent_dim=4, hid_dim=16,
+                       flow_actnorm=True, flow_tails="linear")
+    cfg_off = cfg_on.replace(flow_actnorm=False)
+    p_on = flow_vae.init(jax.random.PRNGKey(0), cfg_on, 6)
+    p_off = {k: v for k, v in p_on.items() if k != "actnorm"}
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 6))
+    m = (jax.random.uniform(jax.random.PRNGKey(2), (4, 6)) < 0.7).astype(
+        x.dtype)
+
+    with pytest.raises(ValueError, match="ActNorm"):
+        flow_vae.encode(p_off, x, m, jax.random.PRNGKey(3), cfg_on)
+    with pytest.raises(ValueError, match="ActNorm"):
+        flow_vae.encoder_log_prob(p_on, x[:, :4], x, m, cfg_off)

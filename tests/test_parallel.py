@@ -504,3 +504,35 @@ def test_split_ensemble_n_seeds(tiny_dataset):
                     jax.tree_util.tree_leaves(p1)):
         np.testing.assert_allclose(np.asarray(a)[:3], np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_eval_vae_ensemble_mixed_none_split_raises(tiny_dataset):
+    """A group where only SOME datasets carry a test split is a caller bug:
+    the ensemble evaluator must raise (a silent skip would drop the stage
+    for every config in the group), while an all-None stage is skipped."""
+    import dataclasses
+
+    import pytest
+
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import evaluate as ev
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_split_ensemble,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=2, batch_size=32, latent_dim=4, M=2,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    params_ens, _ = train_split_ensemble(datasets, cfgs[0], chunk_epochs=2)
+
+    mixed = list(datasets)
+    mixed[1] = dataclasses.replace(mixed[1], test=None)
+    with pytest.raises(ValueError, match="present for only"):
+        ev.eval_vae_ensemble(mixed, cfgs, params_ens, save=False)
+
+    # all-None test stage: evaluates train only, no error
+    none_test = [dataclasses.replace(d, test=None) for d in datasets]
+    res = ev.eval_vae_ensemble(none_test, cfgs, params_ens, save=False)
+    assert all(set(r) == {"train"} for r in res)

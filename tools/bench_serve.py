@@ -51,7 +51,9 @@ def bench_model(tag, cfg, obs_dim):
             lat.append(time.perf_counter() - t0)
         lat = np.sort(np.array(lat))
         p50 = lat[len(lat) // 2] * 1e3
-        p95 = lat[int(len(lat) * 0.95) - 1] * 1e3
+        # nearest-rank p95: ceil(0.95*n)-th smallest (int(n*0.95)-1 would be
+        # the ~93rd percentile at n=30)
+        p95 = lat[int(np.ceil(len(lat) * 0.95)) - 1] * 1e3
         print(f"{b:>7} {p50:>8.1f} {p95:>8.1f} {b / (p50 / 1e3):>10.0f}",
               flush=True)
 

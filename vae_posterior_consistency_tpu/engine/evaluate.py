@@ -205,8 +205,16 @@ def eval_vae_ensemble(datasets, cfgs, params_ens,
     results = [dict() for _ in range(S)]
     for stage in ("train", "test"):
         splits = [getattr(d, stage) for d in datasets]
-        if any(s is None for s in splits):
+        if all(s is None for s in splits):
             continue
+        if any(s is None for s in splits):
+            # mixed None-ness is a caller bug, not a skippable stage — a
+            # silent `continue` here would drop the stage for EVERY config
+            raise ValueError(
+                f"eval_vae_ensemble: {stage} split present for only "
+                f"{sum(s is not None for s in splits)}/{len(splits)} "
+                "datasets in the group; provide it for all or none"
+            )
         n = splits[0].n
         if any(s.n != n for s in splits):
             raise ValueError(

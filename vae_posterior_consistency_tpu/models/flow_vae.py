@@ -45,6 +45,21 @@ def init(key, cfg, obs_dim):
     return params
 
 
+def _actnorm(params, cfg):
+    """ActNorm affines, cross-checked against the config: a checkpoint
+    trained without ActNorm evaluated under `-flow_actnorm true` (or vice
+    versa) is a real mismatch, not something to silently paper over."""
+    want = bool(getattr(cfg, "flow_actnorm", False))
+    have = "actnorm" in params
+    if want != have:
+        raise ValueError(
+            f"flow_actnorm={want} but the checkpoint was trained "
+            f"{'with' if have else 'without'} ActNorm layers — "
+            "re-train or match the flag to the checkpoint"
+        )
+    return params.get("actnorm")
+
+
 def encode(params, x, mask, key, cfg):
     """Sample z from the flow posterior; returns (z, elementwise log q(z))
     (reference: src/models/VAE.py:1924-1931). `cfg.flow_tails` selects clamp
@@ -52,7 +67,7 @@ def encode(params, x, mask, key, cfg):
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
     return flowlib.flow_forward(key, context, cfg.latent_dim,
                                 tails=getattr(cfg, "flow_tails", "clamp"),
-                                actnorm=params.get("actnorm"))
+                                actnorm=_actnorm(params, cfg))
 
 
 def encoder_log_prob(params, z, x, mask, cfg):
@@ -61,7 +76,7 @@ def encoder_log_prob(params, z, x, mask, cfg):
     context = layers.flow_context_encoder_apply(params["encoder"], x, mask)
     return flowlib.flow_log_prob(z, context, cfg.latent_dim,
                                  tails=getattr(cfg, "flow_tails", "clamp"),
-                                 actnorm=params.get("actnorm"))
+                                 actnorm=_actnorm(params, cfg))
 
 
 def decode(params, z):

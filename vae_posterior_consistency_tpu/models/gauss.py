@@ -119,7 +119,7 @@ _INV_VAR = math.exp(-FIXED_X_LOGVAR)
 _LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
 
-def _masked_re(x, x_mean, x_logvar, m, axis=None):
+def _masked_re(x, x_mean, _x_logvar_ignored, m, axis=None):
     """Reconstruction NLL with the reference's mask-everything convention
     (reference: VAE.py:422-426).
 
@@ -132,8 +132,10 @@ def _masked_re(x, x_mean, x_logvar, m, axis=None):
     — exact-math identical (m^2 = m), but it removes the per-cell
     exp(logvar*m) transcendental over the [2B, obs_dim] grid from both the
     forward and backward passes (three RE terms per regularized step). The
-    x_logvar argument is kept for signature parity and ignored."""
-    del x_logvar
+    The logvar argument is kept for signature parity and IGNORED (named
+    `_x_logvar_ignored` so a future non-fixed-logvar decoder variant cannot
+    silently inherit the folded constant — use the generic NLL instead)."""
+    del _x_logvar_ignored
     per_cell = m * (0.5 * _INV_VAR * jnp.square(x - x_mean)
                     + 0.5 * FIXED_X_LOGVAR) + _LOG_SQRT_2PI
     return jnp.sum(per_cell, axis=axis)

@@ -266,7 +266,8 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     S to a multiple of dp internally (padded rows are sliced off here).
     """
     model = get_model(cfg)
-    S = len(list(seeds))
+    seeds = list(seeds)  # normalize once — the sequence is consumed twice
+    S = len(seeds)
     run_chunk, Pmat, opt_state = build_seed_ensemble_runner(dataset, cfg,
                                                             seeds, mesh=mesh)
     from jax.flatten_util import ravel_pytree
