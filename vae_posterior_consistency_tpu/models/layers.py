@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vae_posterior_consistency_tpu.nn import core
+from vae_posterior_consistency_tpu.ops import fused_embed_pool
 
 
 # ---------------------------------------------------------------------------
@@ -99,10 +100,7 @@ def _pointnet_embed(params, x):
     scale (784 features; see profiles/mnist_eddi), and unlike the matmuls
     (which XLA's DEFAULT TPU precision already runs as bf16-with-f32-
     accumulate) elementwise chains only narrow when asked."""
-    W1 = params["pnp1"]["layer0"]["w"]  # [K+2, K]
-    b1 = params["pnp1"]["layer0"]["b"]  # [K]
-    A = W1[0] + params["type_pars"] @ W1[1:-1]  # [D, K]
-    C = params["type_bias"] * W1[-1] + b1  # [D, K]
+    A, C = _pointnet_affine(params)
     if core._COMPUTE_DTYPE[-1] == "bfloat16":
         return jax.nn.relu(x[..., None].astype(jnp.bfloat16)
                            * A.astype(jnp.bfloat16)
@@ -110,7 +108,22 @@ def _pointnet_embed(params, x):
     return jax.nn.relu(x[..., None] * A + C)
 
 
+def _pointnet_affine(params):
+    """The collapsed embed's batch-independent affine: (A, C), both [D, K]
+    (see _pointnet_embed)."""
+    W1 = params["pnp1"]["layer0"]["w"]  # [K+2, K]
+    b1 = params["pnp1"]["layer0"]["b"]  # [K]
+    A = W1[0] + params["type_pars"] @ W1[1:-1]  # [D, K]
+    C = params["type_bias"] * W1[-1] + b1  # [D, K]
+    return A, C
+
+
 def _pointnet_pool(params, x, mask):
+    if fused_embed_pool.enabled():
+        # opt-in Pallas fused embed+pool (measured slower than XLA's own
+        # fusion at the bench shape — ops/fused_embed_pool.py docstring)
+        A, C = _pointnet_affine(params)
+        return fused_embed_pool.embed_pool(x, mask[None], A, C)[0]
     # pool in f32 regardless of the embed's storage dtype (bf16 emb halves
     # the HBM traffic; the 784-term reduction still accumulates in f32 —
     # the convert fuses into the reduce, nothing f32 is materialized)
@@ -130,12 +143,20 @@ def pointnet_encoder_apply_2masks(params, x, mask_q, mask_p):
     the single largest op in the profiled training step (25% of step
     time, profiles/mnist_eddi). Values are identical to two independent
     passes; only the batch-dim layout differs."""
-    # shared [B, D, K] embed (bf16-stored under compute_dtype='bfloat16');
-    # the pool contracts in f32 (see _pointnet_pool)
-    emb = _pointnet_embed(params, x).astype(jnp.float32)
-    masks = jnp.stack([mask_q, mask_p])  # [2, B, D]
-    agg = jnp.einsum("sbd,bdk->sbk", masks, emb,
-                     preferred_element_type=jnp.float32)
+    if fused_embed_pool.enabled():
+        # opt-in Pallas fused embed+pool (measured slower than XLA's own
+        # fusion at the bench shape — ops/fused_embed_pool.py docstring)
+        A, C = _pointnet_affine(params)
+        agg = fused_embed_pool.embed_pool(
+            x, jnp.stack([mask_q, mask_p]), A, C)
+    else:
+        # shared [B, D, K] embed (bf16-stored under
+        # compute_dtype='bfloat16'); the pool contracts in f32
+        # (see _pointnet_pool)
+        emb = _pointnet_embed(params, x).astype(jnp.float32)
+        masks = jnp.stack([mask_q, mask_p])  # [2, B, D]
+        agg = jnp.einsum("sbd,bdk->sbk", masks, emb,
+                         preferred_element_type=jnp.float32)
     h = core.mlp_apply(params["pnp2"], agg, hidden_act="relu")
     mean, logvar = jnp.split(h, 2, axis=-1)
     return mean, logvar
