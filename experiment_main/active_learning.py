@@ -72,6 +72,10 @@ def _run_grid(records):
                 # engine/active_learning.active_learning_func)
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
+                n_seeds = max(1, int(getattr(args, "seeds", 1)))
+                if n_seeds > 1:
+                    _run_seed_ensemble(cfg, ds, mesh, n_seeds, tag)
+                    continue
                 print(f"=== active learning {cfg.vae_type}{tag} ===",
                       flush=True)
                 t0 = time.perf_counter()
@@ -84,6 +88,44 @@ def _run_grid(records):
                       + " ".join(f"{v:.4f}" for v in curve))
                 print(f"  [timing] episode {time.perf_counter() - t0:.1f}s",
                       flush=True)
+
+
+def _run_seed_ensemble(cfg, ds, mesh, n_seeds, tag):
+    """-seeds N: run the AL episode for the config's N seed-replica
+    checkpoints (checkpoint.pt + .seed{s} written by `imputation.py
+    -ensemble true -seeds N`) as ONE vmapped program
+    (engine/active_learning.active_learning_ensemble) and report the final
+    target-MSE per seed with mean±std. Raises with the missing path if a
+    seed checkpoint was never trained."""
+    import jax.numpy as jnp
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.models import get_model
+
+    print(f"=== active learning {cfg.vae_type} (seeds={n_seeds}){tag} ===",
+          flush=True)
+    model = get_model(cfg)
+    template = model.init(jax.random.PRNGKey(0), cfg, ds.obs_dim)
+    base = checkpoint.checkpoint_path(cfg, "experiments")
+    replicas = [
+        checkpoint.load(template, base if s == 0 else f"{base}.seed{s}")
+        for s in range(n_seeds)
+    ]
+    params_ens = jax.tree_util.tree_map(
+        lambda *ls: jnp.stack(ls), *replicas)
+    t0 = time.perf_counter()
+    out = al_engine.active_learning_ensemble(
+        np.asarray(ds.test.x), np.asarray(ds.test.mask), cfg, params_ens,
+        Repeat=1, mesh=mesh
+    )
+    finals = np.asarray(out["information_curve"])[:, 0, 0, -1]
+    mu, sd = float(finals.mean()), float(finals.std())
+    print(f"  final target-MSE={mu:.5f}±{sd:.5f}  "
+          + " ".join(f"s{s}={v:.5f}" for s, v in enumerate(finals)))
+    curve0 = np.asarray(out["information_curve"])[0, 0, 0, :]
+    print("  seed-0 info curve: " + " ".join(f"{v:.4f}" for v in curve0))
+    print(f"  [timing] {n_seeds}-seed episode "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":

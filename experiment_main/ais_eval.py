@@ -56,7 +56,36 @@ def main():
     mesh = resolve_mesh(cfg)
     if mesh is not None:
         print(f"mesh={dict(mesh.shape)}: AIS chains dp-sharded")
+    n_seeds = max(1, int(getattr(args, "seeds", 1)))
     with maybe_profile(args):
+        if n_seeds > 1:
+            # -seeds N: estimate log p(x) for the N seed-replica
+            # checkpoints (checkpoint.pt + .seed{s} from `imputation.py
+            # -ensemble true -seeds N`) as ONE vmapped program per split
+            import jax.numpy as jnp
+
+            from vae_posterior_consistency_tpu.engine import checkpoint
+            from vae_posterior_consistency_tpu.models import get_model
+
+            model = get_model(cfg)
+            template = model.init(jax.random.PRNGKey(0), cfg,
+                                  dataset.obs_dim)
+            base = checkpoint.checkpoint_path(cfg, "experiments")
+            replicas = [
+                checkpoint.load(template,
+                                base if s == 0 else f"{base}.seed{s}")
+                for s in range(n_seeds)
+            ]
+            params_ens = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls), *replicas)
+            results = ais.eval_ais_ensemble(
+                dataset, cfg, params_ens, n_sample=cfg.n_ais_iwae, mesh=mesh)
+            for stage, res in results.items():
+                mu, sd = float(res.logw.mean()), float(res.logw.std())
+                per = " ".join(f"s{s}={v:.4f}"
+                               for s, v in enumerate(res.logw))
+                print(f"  [{stage}] AIS log p(x) = {mu:.4f}±{sd:.4f}  {per}")
+            return
         results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae,
                                mesh=mesh)
     for stage, res in results.items():

@@ -153,3 +153,56 @@ def test_al_mesh_cache_keyed_on_true_rows(setup):
     np.testing.assert_allclose(np.asarray(out10["information_curve"]),
                                np.asarray(ref10["information_curve"]),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_al_ensemble_matches_serial(setup, tmp_path):
+    """active_learning_ensemble (one vmapped [S]-seed program) must
+    reproduce per-seed active_learning_func exactly: same episode
+    key/mask_p streams, replicas differ only by parameters. Seed-0
+    artifacts land at the reference paths; extra seeds under .seed{s}."""
+    cfg, params, x, mask = setup
+    model = get_model(cfg)
+    D = x.shape[1]
+    replicas = [params, model.init(jax.random.PRNGKey(42), cfg, D)]
+    params_ens = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)
+
+    out = al.active_learning_ensemble(x, mask, cfg, params_ens, Repeat=2,
+                                      experiments_root=str(tmp_path))
+    assert out["information_curve"].shape[:2] == (2, 2)  # [S, Repeat]
+    for s, p_s in enumerate(replicas):
+        serial = al.active_learning_func(None, x, mask, cfg, Repeat=2,
+                                         params=p_s, save=False)
+        for name in ("information_curve", "action", "R_hist", "im"):
+            np.testing.assert_allclose(
+                np.asarray(out[name][s]), np.asarray(serial[name]),
+                rtol=1e-5, atol=1e-6, err_msg=f"seed{s}/{name}")
+    for p in art.active_learning_paths(cfg, str(tmp_path)).values():
+        assert os.path.exists(p) and os.path.exists(f"{p}.seed1")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_al_ensemble_mesh_matches_unsharded(tmp_path):
+    """-seeds x -mesh composition: the [S]-seed vmapped episode dp-shards
+    its test rows exactly like the single-seed path (params gain only a
+    replicated [S] axis); with n % dp == 0 the artifacts match the
+    unsharded ensemble run exactly."""
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", M=2,
+                    latent_dim=4)
+    model = get_model(cfg)
+    D, n = 5, 8
+    replicas = [model.init(jax.random.PRNGKey(s), cfg, D) for s in (0, 42)]
+    params_ens = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (n, D))
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (n, D)) < 0.7).astype(
+        jnp.float32)
+    ref = al.active_learning_ensemble(x, mask, cfg, params_ens, Repeat=1,
+                                      save=False)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    out = al.active_learning_ensemble(x, mask, cfg, params_ens, Repeat=1,
+                                      save=False, mesh=mesh)
+    for name in ("information_curve", "action", "R_hist", "im"):
+        np.testing.assert_allclose(np.asarray(out[name]),
+                                   np.asarray(ref[name]), rtol=1e-4,
+                                   atol=1e-5, err_msg=name)

@@ -96,3 +96,45 @@ def test_ais_mesh_matches_single_device():
     np.testing.assert_allclose(r_mesh.logw, r_ref.logw, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(r_mesh.latents, r_ref.latents, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_ais_ensemble_matches_serial(tmp_path):
+    """eval_ais_ensemble (one vmapped [S]-replica program per split) must
+    reproduce per-replica eval_ais exactly: same chains, same z0/HMC keys,
+    replicas differ only by decoder parameters. Seed-0 artifacts land at
+    the reference paths; extra seeds under .seed{s}."""
+    import os
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    latent_dim=3, n_ais_dist=15, ais_schedule="linear")
+    model = get_model(cfg)
+    D = 5
+    x_tr = jax.random.uniform(jax.random.PRNGKey(1), (6, D))
+    x_te = jax.random.uniform(jax.random.PRNGKey(2), (4, D))
+    m = jnp.ones((6, D))
+    ds = Dataset(train=Split(x_tr, m, "train"),
+                 test=Split(x_te, m[:4], "test"), obs_dim=D)
+    replicas = [model.init(jax.random.PRNGKey(s), cfg, D) for s in (0, 7)]
+    params_ens = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)
+
+    ens = ais.eval_ais_ensemble(ds, cfg, params_ens, n_sample=8,
+                                experiments_root=str(tmp_path))
+    for stage in ("train", "test"):
+        assert ens[stage].logw.shape == (2,)
+        for s, p_s in enumerate(replicas):
+            serial = ais.eval_ais(ds, cfg, params=p_s, n_sample=8,
+                                  save=False)
+            np.testing.assert_allclose(ens[stage].logw[s],
+                                       serial[stage].logw, rtol=1e-5,
+                                       atol=1e-5, err_msg=f"{stage}/s{s}")
+            np.testing.assert_allclose(ens[stage].latents[s],
+                                       serial[stage].latents, rtol=1e-4,
+                                       atol=1e-5)
+    base = os.path.join(str(tmp_path), cfg.vae_type, cfg.data_type, "elbos",
+                        f"{cfg.missing_rate}_missing", f"{cfg.epoch}_epochs")
+    assert os.path.exists(os.path.join(base, "train_ais.pt"))
+    assert os.path.exists(os.path.join(base, "train_ais.pt.seed1"))

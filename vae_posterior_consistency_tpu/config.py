@@ -71,9 +71,10 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
         # contract; extra seeds save under checkpoint.seed{s} suffixes).
         parser.add_argument(
             "-seeds", type=int, default=1,
-            help="seed replicas per config, trained as one vmapped ensemble "
+            help="seed replicas per config, run as one vmapped ensemble "
                  "program (error-barred metrics; on imputation.py requires "
-                 "-ensemble true)",
+                 "-ensemble true; active_learning.py/ais_eval.py load the "
+                 ".seed{s} checkpoints those runs wrote)",
         )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with

@@ -313,3 +313,101 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
             "test", experiments_root,
         )
     return stacked
+
+
+def active_learning_ensemble(test_data, test_mask, cfg: RunConfig, params_ens,
+                             experiments_root: str = "experiments",
+                             Repeat: int = 1, key=None, save: bool = True,
+                             mesh=None):
+    """[S]-seed-replica AL episodes in ONE compiled program: the single-seed
+    episode runner vmapped over stacked checkpoint params (the `-seeds N`
+    grid's `.seed{s}` replicas). Every replica sees the SAME episode
+    key/mask_p streams — replicas differ only by their trained parameters,
+    exactly as S serial active_learning_func runs of the same config would —
+    so replica 0 reproduces the plain run (pinned by
+    tests/test_active_learning.py::test_al_ensemble_matches_serial). With `mesh`, test
+    rows dp-shard exactly as in active_learning_func (the vmap adds a
+    replicated [S] axis on params only).
+
+    Saves replica 0's artifacts at the reference paths and extra seeds under
+    `.seed{s}` suffixes (the reference CLI has no seed-replication
+    equivalent; serial loop: src/experiment_main/evaluate.py:300-511).
+    Returns the stacked artifact dict with a leading [S] axis.
+    """
+    model = get_model(cfg)
+    x = jnp.asarray(test_data, jnp.float32)
+    test_mask = jnp.asarray(test_mask, jnp.float32)
+    n_test, D = x.shape
+    S = jax.tree_util.tree_leaves(params_ens)[0].shape[0]
+    key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
+
+    n_run, row_weights = n_test, None
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        pad = (-n_test) % dp
+        if pad:
+            n_run = n_test + pad
+            x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
+            test_mask = jnp.concatenate(
+                [test_mask, jnp.ones((pad, D), test_mask.dtype)])
+            row_weights = (jnp.arange(n_run) < n_test).astype(jnp.float32)
+
+    from vae_posterior_consistency_tpu.engine.train import (
+        _cache_put,
+        _program_cache_key,
+    )
+
+    al_key = _program_cache_key(cfg, n_run, D) + (n_test, "ens", S)
+    run_ens = _AL_CACHE.get(al_key)
+    if run_ens is None:
+        runner = make_al_runner(cfg, model, D, n_run,
+                                row_weights=row_weights)
+
+        @jax.jit
+        def run_ens(params_ens, x, mask_ps, run_keys):
+            def one_seed(p):
+                return jax.lax.map(
+                    lambda mk: runner(p, x, mk[0], mk[1]),
+                    (mask_ps, run_keys)
+                )
+
+            return jax.vmap(one_seed)(params_ens)
+
+        _cache_put(_AL_CACHE, al_key, run_ens)
+
+    # same per-repeat streams as active_learning_func (shared across seeds)
+    rkeys = jax.vmap(lambda r: jax.random.fold_in(key, r))(jnp.arange(Repeat))
+    kpairs = jax.vmap(jax.random.split)(rkeys)
+    mask_ps = jax.vmap(
+        lambda k: test_mask * masks.mcar_mask(k, test_mask.shape,
+                                              cfg.p_missingness)
+    )(kpairs[:, 0])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+        mask_ps = jax.device_put(mask_ps, NamedSharding(mesh, P(None, "dp",
+                                                               None)))
+        params_ens = jax.device_put(params_ens, NamedSharding(mesh, P()))
+
+    stacked = run_ens(params_ens, x, mask_ps, kpairs[:, 1])
+    if n_run != n_test:  # drop the dp-padding rows (leading [S] + row axes)
+        stacked = {
+            "information_curve": stacked["information_curve"][:, :, :n_test],
+            "action": stacked["action"][:, :, :n_test],
+            "R_hist": stacked["R_hist"][:, :, :, :n_test],
+            "im": stacked["im"][:, :, :, :, :n_test],
+        }
+    if save:
+        paths = artifacts.active_learning_paths(cfg, experiments_root)
+        host = {k: jax.device_get(v) for k, v in stacked.items()}
+        for s in range(S):
+            for name in ("information_curve", "action", "R_hist", "im"):
+                p = paths[name] if s == 0 else f"{paths[name]}.seed{s}"
+                artifacts.save_tensor(host[name][s], p)
+        artifacts.log_metric(
+            cfg, "al_final_mse", stacked["information_curve"][0, :, 0, -1],
+            "test", experiments_root,
+        )
+    return stacked

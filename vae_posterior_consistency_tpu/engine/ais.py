@@ -98,6 +98,35 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
 
         x_rep = jax.device_put(x_rep, NamedSharding(mesh, P("dp", None)))
 
+    k_init, k_scan = jax.random.split(key)
+    z0 = jax.random.normal(k_init, (B, latent_dim))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
+    keys = jax.random.split(k_scan, len(schedule) - 1)
+
+    logw, z = _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
+                         initial_eps, leapfrog)
+    # IWAE-style bound over chains (reference: AIS.py:219-220); padded rows
+    # (mesh even-shard fill) drop out here
+    logw_mat = logw.reshape(n_sample, B0_run).T[:B0]
+    lw = jax.scipy.special.logsumexp(logw_mat, axis=1) - jnp.log(n_sample)
+    return AISResult(
+        logw=float(jnp.mean(lw)),
+        latents=np.asarray(
+            z.reshape(n_sample, B0_run, latent_dim).transpose(1, 0, 2)[:B0]),
+    )
+
+
+def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
+               initial_eps: float = 0.01, leapfrog: int = 10):
+    """The device-pure AIS core: annealed HMC over the bridge schedule for
+    B independent chains. Returns (logw [B], final z [B, L]). Split out of
+    ais_batch so eval_ais_ensemble can vmap it over stacked seed-replica
+    params (same chains, same keys; replicas differ only by decoder
+    parameters)."""
+
     def _prior_and_lik(z):
         """One decoder evaluation -> (log p(z), log p(x|z)); every bridge
         quantity is an affine combination of these two."""
@@ -130,13 +159,6 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
         v = v - 0.5 * eps_c * grad_U(z, t)
         return z, -v
 
-    k_init, k_scan = jax.random.split(key)
-    z0 = jax.random.normal(k_init, (B, latent_dim))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
-
     def step(carry, inp):
         z, eps, accept_hist, logw, j = carry
         t0, t1, k = inp
@@ -159,8 +181,7 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
                        1e-4, 0.5)
         return (z, eps, accept_hist, logw, j + 1.0), None
 
-    n_steps = len(schedule) - 1
-    keys = jax.random.split(k_scan, n_steps)
+    B = z0.shape[0]
     init = (
         z0,
         jnp.full((B,), initial_eps),
@@ -171,15 +192,7 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     (z, eps, _, logw, _), _ = jax.lax.scan(
         step, init, (schedule[:-1], schedule[1:], keys)
     )
-    # IWAE-style bound over chains (reference: AIS.py:219-220); padded rows
-    # (mesh even-shard fill) drop out here
-    logw_mat = logw.reshape(n_sample, B0_run).T[:B0]
-    lw = jax.scipy.special.logsumexp(logw_mat, axis=1) - jnp.log(n_sample)
-    return AISResult(
-        logw=float(jnp.mean(lw)),
-        latents=np.asarray(
-            z.reshape(n_sample, B0_run, latent_dim).transpose(1, 0, 2)[:B0]),
-    )
+    return logw, z
 
 
 def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
@@ -239,4 +252,107 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
             )
             artifacts.log_metric(cfg, "ais_logw", res.logw, split.stage,
                                  experiments_root)
+    return results
+
+
+def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
+                      n_sample: int = 100, key=None,
+                      experiments_root: str = "experiments", save: bool = True,
+                      mesh=None):
+    """AIS over an [S]-stack of seed-replica checkpoints in ONE compiled
+    program per split: _ais_chain vmapped over the stacked decoder params.
+    Every replica anneals the SAME chains (same z0/HMC keys, same data) —
+    replicas differ only by their trained parameters, exactly as S serial
+    eval_ais runs would derive them — so replica 0 reproduces eval_ais
+    (pinned by tests/test_ais.py::test_ais_ensemble_matches_serial). With
+    `mesh`, chains dp-shard exactly as in ais_batch (the vmap adds a
+    replicated [S] axis on params only).
+
+    Saves replica 0's logw/latents at the reference artifact paths and the
+    extra seeds under `.seed{s}` suffixes (the reference CLI has no
+    seed-replication equivalent; serial entry: src/utils/AIS.py:80-91).
+    Returns {stage: AISResult} with logw/latents stacked on a leading [S].
+    """
+    import os
+
+    from vae_posterior_consistency_tpu.engine import artifacts
+    from vae_posterior_consistency_tpu.models import gauss
+
+    model = get_model(cfg)
+    if model.name not in ("gauss",):
+        raise NotImplementedError(
+            "AIS needs a Gaussian observation decoder; got family "
+            f"{model.name!r}")
+    if schedule is None:
+        schedule = (
+            linear_schedule(cfg.n_ais_dist)
+            if cfg.ais_schedule == "linear"
+            else sigmoidial_schedule(cfg.n_ais_dist)
+        )
+    key = jax.random.PRNGKey(cfg.seed + 4) if key is None else key
+    S = jax.tree_util.tree_leaves(params_ens)[0].shape[0]
+
+    results = {}
+    for split_idx, split in enumerate((dataset.train, dataset.test)):
+        if split is None:
+            continue
+        x = split.x
+        B0 = x.shape[0]
+        B0_run = B0
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            while (B0_run * n_sample) % dp:
+                B0_run += 1
+            if B0_run != B0:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((B0_run - B0, x.shape[1]), x.dtype)])
+        B = B0_run * n_sample
+        x_rep = jnp.tile(x, (n_sample, 1))
+        sched = jnp.asarray(schedule, jnp.float32)
+        # identical stream derivation to ais_batch (fold per split)
+        k_split = jax.random.fold_in(key, split_idx)
+        k_init, k_scan = jax.random.split(k_split)
+        z0 = jax.random.normal(k_init, (B, cfg.latent_dim))
+        keys = jax.random.split(k_scan, len(sched) - 1)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x_rep = jax.device_put(x_rep, NamedSharding(mesh, P("dp", None)))
+            z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
+            params_ens = jax.device_put(params_ens, NamedSharding(mesh, P()))
+
+        @jax.jit
+        def run_ens(params_ens, x_rep, z0, keys):
+            def one_seed(p):
+                return _ais_chain(lambda z: gauss.decode(p, z), x_rep, z0,
+                                  sched, keys)
+
+            return jax.vmap(one_seed)(params_ens)
+
+        logw_s, z_s = run_ens(params_ens, x_rep, z0, keys)  # [S,B], [S,B,L]
+        logw_mat = logw_s.reshape(S, n_sample, B0_run).transpose(0, 2, 1)
+        lw = (jax.scipy.special.logsumexp(logw_mat[:, :B0], axis=2)
+              - jnp.log(n_sample))  # [S, B0]
+        logws = np.asarray(jax.device_get(jnp.mean(lw, axis=1)))  # [S]
+        lats = np.asarray(jax.device_get(
+            z_s.reshape(S, n_sample, B0_run, cfg.latent_dim)
+            .transpose(0, 2, 1, 3)[:, :B0]))
+        results[split.stage] = AISResult(logw=logws, latents=lats)
+        if save:
+            base = os.path.join(
+                experiments_root, cfg.vae_type, cfg.data_type, "elbos",
+                f"{cfg.missing_rate}_missing", f"{cfg.epoch}_epochs",
+            )
+            lat_base = base.replace("elbos", "latents")
+            for s in range(S):
+                sfx = "" if s == 0 else f".seed{s}"
+                artifacts.save_tensor(
+                    float(logws[s]),
+                    os.path.join(base, f"{split.stage}_ais.pt{sfx}"))
+                artifacts.save_tensor(
+                    lats[s],
+                    os.path.join(lat_base,
+                                 f"{split.stage}_ais_true_latents.pt{sfx}"))
+            artifacts.log_metric(cfg, "ais_logw", float(logws[0]),
+                                 split.stage, experiments_root)
     return results
