@@ -138,3 +138,37 @@ def test_ais_ensemble_matches_serial(tmp_path):
                         f"{cfg.missing_rate}_missing", f"{cfg.epoch}_epochs")
     assert os.path.exists(os.path.join(base, "train_ais.pt"))
     assert os.path.exists(os.path.join(base, "train_ais.pt.seed1"))
+
+
+def test_ais_ensemble_mesh_matches_unsharded(tmp_path):
+    """-seeds x -mesh composition on ais_eval.py: the [S]-replica vmapped
+    AIS program dp-shards its chains exactly like the single-seed path
+    (params gain only a replicated [S] axis); the estimates must match the
+    unsharded ensemble run."""
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+    from vae_posterior_consistency_tpu.models import get_model
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    latent_dim=3, n_ais_dist=12, ais_schedule="linear")
+    model = get_model(cfg)
+    D = 5
+    x_tr = jax.random.uniform(jax.random.PRNGKey(1), (6, D))
+    m = jnp.ones((6, D))
+    ds = Dataset(train=Split(x_tr, m, "train"), test=None, obs_dim=D)
+    replicas = [model.init(jax.random.PRNGKey(s), cfg, D) for s in (0, 7)]
+    params_ens = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)
+
+    ref = ais.eval_ais_ensemble(ds, cfg, params_ens, n_sample=8, save=False)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    out = ais.eval_ais_ensemble(ds, cfg, params_ens, n_sample=8, save=False,
+                                mesh=mesh)
+    np.testing.assert_allclose(out["train"].logw, ref["train"].logw,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(out["train"].latents, ref["train"].latents,
+                               rtol=1e-3, atol=1e-4)
