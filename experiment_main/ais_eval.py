@@ -39,10 +39,31 @@ from vae_posterior_consistency_tpu.data.default_configs import write_default_con
 from vae_posterior_consistency_tpu.engine import ais
 
 
+def _record_for_requested_vae_type(records):
+    """Pick the JSONL record matching the `-vae_type` on argv (pre-parse
+    scan), so every other default (missing_rate, data_type, epochs — the
+    checkpoint-path fields) comes from THAT config's grid entry rather than
+    record[0]'s. `ais_eval.py -vae_type vanilla_vae1` then finds the
+    checkpoint the imputation grid actually wrote (record[0] is a MIWAE
+    config at missing_rate=50; vanilla_vae trains at 30). Falls back to
+    record[0] for unknown/absent vae_type, same as before."""
+    requested = None
+    for i, tok in enumerate(sys.argv):
+        if tok == "-vae_type" and i + 1 < len(sys.argv):
+            requested = sys.argv[i + 1]
+        elif tok.startswith("-vae_type="):
+            requested = tok.split("=", 1)[1]
+    for rec in records:
+        if rec["vae_type"]["default"] == requested:
+            return rec
+    return records[0]
+
+
 def main():
     print("Devices:", jax.devices())
     write_default_configs("Data")
-    record = next(iter_jsonl_configs("Data/imputation_args.json"))
+    records = list(iter_jsonl_configs("Data/imputation_args.json"))
+    record = _record_for_requested_vae_type(records)
     args = setup_parser(record, "ais_eval").parse_args()
     cfg = RunConfig.from_args(args)
     apply_rng_impl(cfg)

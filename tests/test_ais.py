@@ -172,3 +172,39 @@ def test_ais_ensemble_mesh_matches_unsharded(tmp_path):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(out["train"].latents, ref["train"].latents,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_record_selection_matches_requested_vae_type(monkeypatch, tmp_path):
+    """ais_eval.py derives its checkpoint-path defaults (missing_rate,
+    epochs, data_type) from the grid record matching `-vae_type`, not from
+    record[0] (a reg_MIWAE config at missing_rate=50) — otherwise the
+    documented `-vae_type vanilla_vae1` example looks for a checkpoint the
+    imputation grid never wrote."""
+    import importlib
+
+    from vae_posterior_consistency_tpu.config import iter_jsonl_configs
+    from vae_posterior_consistency_tpu.data.default_configs import (
+        write_default_configs,
+    )
+
+    mod = importlib.import_module("experiment_main.ais_eval")
+    write_default_configs(str(tmp_path))
+    records = list(
+        iter_jsonl_configs(str(tmp_path / "imputation_args.json")))
+
+    monkeypatch.setattr(
+        "sys.argv", ["ais_eval.py", "-vae_type", "vanilla_vae1"])
+    rec = mod._record_for_requested_vae_type(records)
+    assert rec["vae_type"]["default"] == "vanilla_vae1"
+    assert rec["missing_rate"]["default"] == 30
+
+    # `-flag=value` form resolves too
+    monkeypatch.setattr("sys.argv", ["ais_eval.py", "-vae_type=reg_vae1"])
+    assert (mod._record_for_requested_vae_type(records)["vae_type"]
+            ["default"] == "reg_vae1")
+
+    # absent / unknown vae_type falls back to record[0] (previous behavior)
+    monkeypatch.setattr("sys.argv", ["ais_eval.py"])
+    assert mod._record_for_requested_vae_type(records) is records[0]
+    monkeypatch.setattr("sys.argv", ["ais_eval.py", "-vae_type", "nope"])
+    assert mod._record_for_requested_vae_type(records) is records[0]
