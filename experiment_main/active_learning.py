@@ -97,22 +97,13 @@ def _run_seed_ensemble(cfg, ds, mesh, n_seeds, tag):
     (engine/active_learning.active_learning_ensemble) and report the final
     target-MSE per seed with mean±std. Raises with the missing path if a
     seed checkpoint was never trained."""
-    import jax.numpy as jnp
-
     from vae_posterior_consistency_tpu.engine import checkpoint
     from vae_posterior_consistency_tpu.models import get_model
 
     print(f"=== active learning {cfg.vae_type} (seeds={n_seeds}){tag} ===",
           flush=True)
-    model = get_model(cfg)
-    template = model.init(jax.random.PRNGKey(0), cfg, ds.obs_dim)
-    base = checkpoint.checkpoint_path(cfg, "experiments")
-    replicas = [
-        checkpoint.load(template, base if s == 0 else f"{base}.seed{s}")
-        for s in range(n_seeds)
-    ]
-    params_ens = jax.tree_util.tree_map(
-        lambda *ls: jnp.stack(ls), *replicas)
+    params_ens = checkpoint.load_seed_ensemble(cfg, get_model(cfg),
+                                               ds.obs_dim, n_seeds)
     t0 = time.perf_counter()
     out = al_engine.active_learning_ensemble(
         np.asarray(ds.test.x), np.asarray(ds.test.mask), cfg, params_ens,

@@ -39,22 +39,16 @@ from vae_posterior_consistency_tpu.data.default_configs import write_default_con
 from vae_posterior_consistency_tpu.engine import ais
 
 
-def _record_for_requested_vae_type(records):
-    """Pick the JSONL record matching the `-vae_type` on argv (pre-parse
-    scan), so every other default (missing_rate, data_type, epochs — the
-    checkpoint-path fields) comes from THAT config's grid entry rather than
-    record[0]'s. `ais_eval.py -vae_type vanilla_vae1` then finds the
-    checkpoint the imputation grid actually wrote (record[0] is a MIWAE
-    config at missing_rate=50; vanilla_vae trains at 30). Falls back to
-    record[0] for unknown/absent vae_type, same as before."""
-    requested = None
-    for i, tok in enumerate(sys.argv):
-        if tok == "-vae_type" and i + 1 < len(sys.argv):
-            requested = sys.argv[i + 1]
-        elif tok.startswith("-vae_type="):
-            requested = tok.split("=", 1)[1]
+def _record_for_vae_type(records, vae_type):
+    """Pick the JSONL record whose vae_type matches, so every other default
+    (missing_rate, data_type, epochs — the checkpoint-path fields) comes
+    from THAT config's grid entry rather than record[0]'s.
+    `ais_eval.py -vae_type vanilla_vae1` then finds the checkpoint the
+    imputation grid actually wrote (record[0] is a MIWAE config at
+    missing_rate=50; vanilla_vae trains at 30). Falls back to record[0] for
+    a vae_type outside the grid, same as before."""
     for rec in records:
-        if rec["vae_type"]["default"] == requested:
+        if rec["vae_type"]["default"] == vae_type:
             return rec
     return records[0]
 
@@ -63,7 +57,11 @@ def main():
     print("Devices:", jax.devices())
     write_default_configs("Data")
     records = list(iter_jsonl_configs("Data/imputation_args.json"))
-    record = _record_for_requested_vae_type(records)
+    # two-pass parse: argparse itself resolves the requested vae_type
+    # (including `-vae_type=x` and unambiguous abbreviations), then the
+    # matching record supplies the defaults for the real parse
+    probe = setup_parser(records[0], "ais_eval").parse_args()
+    record = _record_for_vae_type(records, probe.vae_type)
     args = setup_parser(record, "ais_eval").parse_args()
     cfg = RunConfig.from_args(args)
     apply_rng_impl(cfg)
@@ -83,22 +81,11 @@ def main():
             # -seeds N: estimate log p(x) for the N seed-replica
             # checkpoints (checkpoint.pt + .seed{s} from `imputation.py
             # -ensemble true -seeds N`) as ONE vmapped program per split
-            import jax.numpy as jnp
-
             from vae_posterior_consistency_tpu.engine import checkpoint
             from vae_posterior_consistency_tpu.models import get_model
 
-            model = get_model(cfg)
-            template = model.init(jax.random.PRNGKey(0), cfg,
-                                  dataset.obs_dim)
-            base = checkpoint.checkpoint_path(cfg, "experiments")
-            replicas = [
-                checkpoint.load(template,
-                                base if s == 0 else f"{base}.seed{s}")
-                for s in range(n_seeds)
-            ]
-            params_ens = jax.tree_util.tree_map(
-                lambda *ls: jnp.stack(ls), *replicas)
+            params_ens = checkpoint.load_seed_ensemble(
+                cfg, get_model(cfg), dataset.obs_dim, n_seeds)
             results = ais.eval_ais_ensemble(
                 dataset, cfg, params_ens, n_sample=cfg.n_ais_iwae, mesh=mesh)
             for stage, res in results.items():

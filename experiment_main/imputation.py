@@ -157,23 +157,16 @@ def run_suite_ensembles(records, missing, alpha):
         for row in range(S0 * n_seeds):
             s, i = divmod(row, S0)
             p_i = _jax.device_get(sweep.ensemble_replica(params_ens, row))
-            path = checkpoint.checkpoint_path(cfgs[i], "experiments")
-            if s > 0:  # extra seeds: suffixed, reference contract untouched
-                path += f".seed{s}"
+            # extra seeds: suffixed, reference contract untouched
+            path = (checkpoint.checkpoint_path(cfgs[i], "experiments")
+                    + checkpoint.seed_suffix(s))
             checkpoint.save(p_i, path)
+        # seed-0 rows keep the reference artifact contract; the engine owns
+        # the write policy (eval_vae_ensemble's save_rows)
         all_results = eval_engine.eval_vae_ensemble(
-            datasets * n_seeds, cfgs * n_seeds, params_ens, save=False)
-        from vae_posterior_consistency_tpu.engine.evaluate import (
-            _save_eval_artifacts,
-        )
-        from vae_posterior_consistency_tpu.models import get_model
-
-        model = get_model(cfgs[0])
+            datasets * n_seeds, cfgs * n_seeds, params_ens,
+            save_rows=range(S0))
         for i, cfg in enumerate(cfgs):
-            # seed 0 keeps the reference artifact contract
-            for stage, metrics in all_results[i].items():
-                _save_eval_artifacts(cfg, model, stage, metrics,
-                                     "experiments")
             per_seed = [all_results[s * S0 + i] for s in range(n_seeds)]
             for stage in per_seed[0]:
                 line = []

@@ -133,7 +133,7 @@ def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag):
     path = checkpoint.checkpoint_path(cfg, "experiments")
     for s in range(n_seeds):
         p_s = jax.device_get(sweep.ensemble_replica(params_ens, s))
-        checkpoint.save(p_s, path if s == 0 else f"{path}.seed{s}")
+        checkpoint.save(p_s, path + checkpoint.seed_suffix(s))
     rmses = eval_engine.eval_vae_mnar_ensemble(
         dataset.train.x, dataset.train.mask, cfg, params_ens)
     mu = float(rmses.mean())

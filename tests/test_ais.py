@@ -174,15 +174,19 @@ def test_ais_ensemble_mesh_matches_unsharded(tmp_path):
                                rtol=1e-3, atol=1e-4)
 
 
-def test_record_selection_matches_requested_vae_type(monkeypatch, tmp_path):
+def test_record_selection_matches_requested_vae_type(tmp_path):
     """ais_eval.py derives its checkpoint-path defaults (missing_rate,
     epochs, data_type) from the grid record matching `-vae_type`, not from
     record[0] (a reg_MIWAE config at missing_rate=50) — otherwise the
     documented `-vae_type vanilla_vae1` example looks for a checkpoint the
-    imputation grid never wrote."""
+    imputation grid never wrote. The request is resolved by a probe
+    argparse pass, so `-vae_type=x` and unambiguous abbreviations work."""
     import importlib
 
-    from vae_posterior_consistency_tpu.config import iter_jsonl_configs
+    from vae_posterior_consistency_tpu.config import (
+        iter_jsonl_configs,
+        setup_parser,
+    )
     from vae_posterior_consistency_tpu.data.default_configs import (
         write_default_configs,
     )
@@ -191,20 +195,20 @@ def test_record_selection_matches_requested_vae_type(monkeypatch, tmp_path):
     write_default_configs(str(tmp_path))
     records = list(
         iter_jsonl_configs(str(tmp_path / "imputation_args.json")))
+    assert records[0]["vae_type"]["default"] != "vanilla_vae1"
 
-    monkeypatch.setattr(
-        "sys.argv", ["ais_eval.py", "-vae_type", "vanilla_vae1"])
-    rec = mod._record_for_requested_vae_type(records)
+    rec = mod._record_for_vae_type(records, "vanilla_vae1")
     assert rec["vae_type"]["default"] == "vanilla_vae1"
     assert rec["missing_rate"]["default"] == 30
+    # a vae_type outside the grid falls back to record[0] (CLI overrides
+    # still apply on the real parse, same as before the fix)
+    assert mod._record_for_vae_type(records, "nope") is records[0]
 
-    # `-flag=value` form resolves too
-    monkeypatch.setattr("sys.argv", ["ais_eval.py", "-vae_type=reg_vae1"])
-    assert (mod._record_for_requested_vae_type(records)["vae_type"]
-            ["default"] == "reg_vae1")
-
-    # absent / unknown vae_type falls back to record[0] (previous behavior)
-    monkeypatch.setattr("sys.argv", ["ais_eval.py"])
-    assert mod._record_for_requested_vae_type(records) is records[0]
-    monkeypatch.setattr("sys.argv", ["ais_eval.py", "-vae_type", "nope"])
-    assert mod._record_for_requested_vae_type(records) is records[0]
+    # the probe pass hands argparse the resolution: every spelling the
+    # reference flag contract accepts lands on the same record
+    parser = setup_parser(records[0], "ais_eval")
+    for argv in (["-vae_type", "vanilla_vae1"], ["-vae_type=vanilla_vae1"],
+                 ["-vae", "vanilla_vae1"]):
+        probe = parser.parse_args(argv)
+        assert (mod._record_for_vae_type(records, probe.vae_type)
+                ["vae_type"]["default"] == "vanilla_vae1")

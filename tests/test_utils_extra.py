@@ -236,3 +236,62 @@ def test_mutual_information_kde_orders_informative_vs_constant():
     assert np.isfinite(mi_info) and np.isfinite(mi_const)
     assert mi_info > mi_const
     assert abs(mi_const) < 1.0  # near-zero for a constant posterior
+
+
+def test_gaussian_kde_loo_drops_self_kernel():
+    """loo=True excludes each fit point's own kernel: it is strictly below
+    the plain estimate at the fit points, and unbiased where the plain
+    estimate is dominated by the self term (small N, moderate D)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.nn import tensor_utils as tu
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (16, 8))
+    plain = tu.gaussian_kde_log_eval(z, z)
+    loo = tu.gaussian_kde_log_eval(z, z, loo=True)
+    assert np.all(np.asarray(plain) > np.asarray(loo))
+    # N(0,I_8) log-density at typical points is ~ -0.5*||z||^2 - 4 log 2pi
+    # in [-18, -7]; the self-kernel floor -8*log(bw*sqrt(2pi)) ~ -5.5 pulls
+    # the plain estimate above the truth while LOO stays below it on average
+    true_ld = -0.5 * jnp.sum(z**2, axis=-1) - 4.0 * jnp.log(2 * jnp.pi)
+    assert float(jnp.mean(plain - true_ld)) > float(
+        jnp.mean(loo - true_ld))
+
+    import pytest
+    with pytest.raises(ValueError):
+        tu.gaussian_kde_log_eval(z, z[:4], loo=True)
+
+
+def test_mutual_information_kde_small_batch_not_negative():
+    """The review's failure regime (B=16, latent_dim=8): without
+    leave-one-out the self-kernel floor (-8*log(bw*sqrt(2pi)) ~ -5.5)
+    dominates log q_agg and drives the constant-encoder MI well below 0,
+    breaking the informative-vs-constant ordering the diagnostic exists
+    for. With LOO the constant case stays near zero."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.engine.inference import (
+        mutual_information_kde,
+    )
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=8)
+    model = get_model(cfg)
+    D, B = 6, 16
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, D))
+    mask = jnp.ones((B, D))
+
+    mi_info = float(mutual_information_kde(params, 10.0 * x, mask, cfg))
+    mi_const = float(mutual_information_kde(params, 0.0 * x, mask, cfg))
+    assert np.isfinite(mi_info) and np.isfinite(mi_const)
+    assert mi_info > mi_const
+    # pre-LOO, measured: info=-3.58 (sign flipped!), const=-2.39; post-LOO
+    # info=+2.98, const=+1.50 (the residual is KDE finite-sample bias at
+    # B=16, D=8 — shared by both cases, so the ordering is trustworthy)
+    assert mi_const > -1.0 and mi_info > 0.0

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from vae_posterior_consistency_tpu.config import RunConfig
 from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
-from vae_posterior_consistency_tpu.engine import artifacts
+from vae_posterior_consistency_tpu.engine import artifacts, checkpoint
 from vae_posterior_consistency_tpu.engine.train import load_trained
 from vae_posterior_consistency_tpu.models import get_model
 from vae_posterior_consistency_tpu.ops import masks
@@ -215,6 +215,27 @@ def make_al_runner(cfg: RunConfig, model, obs_dim: int, n_test: int,
     return run
 
 
+
+def _pad_rows_for_mesh(x, test_mask, n_test, D, mesh):
+    """Mesh even-shard padding shared by the single and ensemble episode
+    paths (they must pad identically — the ensemble's "dp-shards exactly
+    like the single-seed path" guarantee): pad rows to a multiple of dp,
+    with padded rows weighted out of the scalar MSE and sliced off the
+    returned artifacts by the caller. Returns (x, test_mask, n_run,
+    row_weights)."""
+    n_run, row_weights = n_test, None
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        pad = (-n_test) % dp
+        if pad:
+            n_run = n_test + pad
+            x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
+            test_mask = jnp.concatenate(
+                [test_mask, jnp.ones((pad, D), test_mask.dtype)])
+            row_weights = (jnp.arange(n_run) < n_test).astype(jnp.float32)
+    return x, test_mask, n_run, row_weights
+
+
 def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
                          experiments_root: str = "experiments", Repeat: int = 1,
                          params=None, key=None, save: bool = True, mesh=None):
@@ -238,19 +259,8 @@ def active_learning_func(dataset_train, test_data, test_mask, cfg: RunConfig,
         params = load_trained(ds, cfg, experiments_root)
     key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
 
-    # mesh path: pad rows to a multiple of dp (sharding requires even
-    # shards); padded rows are weighted out of the scalar MSE and sliced
-    # off the returned artifacts
-    n_run, row_weights = n_test, None
-    if mesh is not None:
-        dp = mesh.shape["dp"]
-        pad = (-n_test) % dp
-        if pad:
-            n_run = n_test + pad
-            x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
-            test_mask = jnp.concatenate(
-                [test_mask, jnp.ones((pad, D), test_mask.dtype)])
-            row_weights = (jnp.arange(n_run) < n_test).astype(jnp.float32)
+    x, test_mask, n_run, row_weights = _pad_rows_for_mesh(
+        x, test_mask, n_test, D, mesh)
 
     # episode programs are shared across split-digit siblings (the digit only
     # selects data files — engine/train._RUNNER_CACHE has the rationale)
@@ -341,16 +351,8 @@ def active_learning_ensemble(test_data, test_mask, cfg: RunConfig, params_ens,
     S = jax.tree_util.tree_leaves(params_ens)[0].shape[0]
     key = jax.random.PRNGKey(cfg.seed + 3) if key is None else key
 
-    n_run, row_weights = n_test, None
-    if mesh is not None:
-        dp = mesh.shape["dp"]
-        pad = (-n_test) % dp
-        if pad:
-            n_run = n_test + pad
-            x = jnp.concatenate([x, jnp.zeros((pad, D), x.dtype)])
-            test_mask = jnp.concatenate(
-                [test_mask, jnp.ones((pad, D), test_mask.dtype)])
-            row_weights = (jnp.arange(n_run) < n_test).astype(jnp.float32)
+    x, test_mask, n_run, row_weights = _pad_rows_for_mesh(
+        x, test_mask, n_test, D, mesh)
 
     from vae_posterior_consistency_tpu.engine.train import (
         _cache_put,
@@ -404,7 +406,7 @@ def active_learning_ensemble(test_data, test_mask, cfg: RunConfig, params_ens,
         host = {k: jax.device_get(v) for k, v in stacked.items()}
         for s in range(S):
             for name in ("information_curve", "action", "R_hist", "im"):
-                p = paths[name] if s == 0 else f"{paths[name]}.seed{s}"
+                p = paths[name] + checkpoint.seed_suffix(s)
                 artifacts.save_tensor(host[name][s], p)
         artifacts.log_metric(
             cfg, "al_final_mse", stacked["information_curve"][0, :, 0, -1],

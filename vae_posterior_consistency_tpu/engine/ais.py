@@ -67,18 +67,13 @@ class AISResult:
     latents: np.ndarray  # final chain positions [B, n_sample, L]
 
 
-def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
-              initial_eps: float = 0.01, leapfrog: int = 10,
-              mesh=None) -> AISResult:
-    """Run AIS for one batch of data.
-
-    decoder_fn(z) -> (mean, logvar): the model's observation decoder
-    (reference uses model.decoder the same way, AIS.py:135).
-
-    With `mesh`, the B0*n_sample independent chains dp-shard across the mesh
-    (rows never interact until the final host-side logsumexp), so the whole
-    temperature scan partitions with zero collectives.
-    """
+def _prep_chains(x, n_sample: int, latent_dim: int, schedule, key, mesh):
+    """Shared chain setup for ais_batch and eval_ais_ensemble: mesh
+    chain-count padding, chain replication, z0/HMC key derivation, and dp
+    sharding. One definition keeps the single and ensemble paths'
+    PRNG/padding byte-identical (replica 0 of the ensemble must reproduce
+    eval_ais — tests/test_ais.py::test_ais_ensemble_matches_serial).
+    Returns (x_rep [B, D], z0 [B, L], keys, B0_run)."""
     B0 = x.shape[0]
     B0_run = B0
     if mesh is not None:
@@ -92,31 +87,53 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
                 [x, jnp.zeros((B0_run - B0, x.shape[1]), x.dtype)])
     B = B0_run * n_sample
     x_rep = jnp.tile(x, (n_sample, 1))
-    schedule = jnp.asarray(schedule, jnp.float32)
+    k_init, k_scan = jax.random.split(key)
+    z0 = jax.random.normal(k_init, (B, latent_dim))
+    keys = jax.random.split(k_scan, len(schedule) - 1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         x_rep = jax.device_put(x_rep, NamedSharding(mesh, P("dp", None)))
-
-    k_init, k_scan = jax.random.split(key)
-    z0 = jax.random.normal(k_init, (B, latent_dim))
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
-    keys = jax.random.split(k_scan, len(schedule) - 1)
+    return x_rep, z0, keys, B0_run
 
+
+def _chain_views(logw, z, n_sample: int, B0_run: int, B0: int,
+                 latent_dim: int):
+    """[..., B0_run*n_sample] chain outputs -> per-row views:
+    (logw_mat [..., B0, n_sample], latents [..., B0, n_sample, L]).
+    Padded rows (mesh even-shard fill) drop out here."""
+    lead = logw.shape[:-1]
+    logw_mat = jnp.moveaxis(
+        logw.reshape(lead + (n_sample, B0_run)), -2, -1)[..., :B0, :]
+    lats = jnp.moveaxis(
+        z.reshape(lead + (n_sample, B0_run, latent_dim)), -3, -2
+    )[..., :B0, :, :]
+    return logw_mat, lats
+
+
+def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
+              initial_eps: float = 0.01, leapfrog: int = 10,
+              mesh=None) -> AISResult:
+    """Run AIS for one batch of data.
+
+    decoder_fn(z) -> (mean, logvar): the model's observation decoder
+    (reference uses model.decoder the same way, AIS.py:135).
+
+    With `mesh`, the B0*n_sample independent chains dp-shard across the mesh
+    (rows never interact until the final host-side logsumexp), so the whole
+    temperature scan partitions with zero collectives.
+    """
+    B0 = x.shape[0]
+    schedule = jnp.asarray(schedule, jnp.float32)
+    x_rep, z0, keys, B0_run = _prep_chains(x, n_sample, latent_dim,
+                                           schedule, key, mesh)
     logw, z = _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
                          initial_eps, leapfrog)
-    # IWAE-style bound over chains (reference: AIS.py:219-220); padded rows
-    # (mesh even-shard fill) drop out here
-    logw_mat = logw.reshape(n_sample, B0_run).T[:B0]
-    lw = jax.scipy.special.logsumexp(logw_mat, axis=1) - jnp.log(n_sample)
-    return AISResult(
-        logw=float(jnp.mean(lw)),
-        latents=np.asarray(
-            z.reshape(n_sample, B0_run, latent_dim).transpose(1, 0, 2)[:B0]),
-    )
+    # IWAE-style bound over chains (reference: AIS.py:219-220)
+    logw_mat, lats = _chain_views(logw, z, n_sample, B0_run, B0, latent_dim)
+    lw = jax.scipy.special.logsumexp(logw_mat, axis=-1) - jnp.log(n_sample)
+    return AISResult(logw=float(jnp.mean(lw)), latents=np.asarray(lats))
 
 
 def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
@@ -193,6 +210,19 @@ def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
         step, init, (schedule[:-1], schedule[1:], keys)
     )
     return logw, z
+
+
+@jax.jit
+def _run_gauss_ensemble(params_ens, x_rep, z0, sched, keys):
+    """[S]-replica AIS in one program: _ais_chain vmapped over stacked
+    Gaussian-decoder params (same chains/keys for every replica)."""
+    from vae_posterior_consistency_tpu.models import gauss
+
+    def one_seed(p):
+        return _ais_chain(lambda z: gauss.decode(p, z), x_rep, z0, sched,
+                          keys)
+
+    return jax.vmap(one_seed)(params_ens)
 
 
 def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
@@ -275,8 +305,7 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
     """
     import os
 
-    from vae_posterior_consistency_tpu.engine import artifacts
-    from vae_posterior_consistency_tpu.models import gauss
+    from vae_posterior_consistency_tpu.engine import artifacts, checkpoint
 
     model = get_model(cfg)
     if model.name not in ("gauss",):
@@ -290,53 +319,33 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
             else sigmoidial_schedule(cfg.n_ais_dist)
         )
     key = jax.random.PRNGKey(cfg.seed + 4) if key is None else key
-    S = jax.tree_util.tree_leaves(params_ens)[0].shape[0]
 
     results = {}
     for split_idx, split in enumerate((dataset.train, dataset.test)):
         if split is None:
             continue
-        x = split.x
-        B0 = x.shape[0]
-        B0_run = B0
-        if mesh is not None:
-            dp = mesh.shape["dp"]
-            while (B0_run * n_sample) % dp:
-                B0_run += 1
-            if B0_run != B0:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((B0_run - B0, x.shape[1]), x.dtype)])
-        B = B0_run * n_sample
-        x_rep = jnp.tile(x, (n_sample, 1))
+        B0 = split.x.shape[0]
         sched = jnp.asarray(schedule, jnp.float32)
         # identical stream derivation to ais_batch (fold per split)
-        k_split = jax.random.fold_in(key, split_idx)
-        k_init, k_scan = jax.random.split(k_split)
-        z0 = jax.random.normal(k_init, (B, cfg.latent_dim))
-        keys = jax.random.split(k_scan, len(sched) - 1)
+        x_rep, z0, keys, B0_run = _prep_chains(
+            split.x, n_sample, cfg.latent_dim, sched,
+            jax.random.fold_in(key, split_idx), mesh)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            x_rep = jax.device_put(x_rep, NamedSharding(mesh, P("dp", None)))
-            z0 = jax.device_put(z0, NamedSharding(mesh, P("dp", None)))
             params_ens = jax.device_put(params_ens, NamedSharding(mesh, P()))
 
-        @jax.jit
-        def run_ens(params_ens, x_rep, z0, keys):
-            def one_seed(p):
-                return _ais_chain(lambda z: gauss.decode(p, z), x_rep, z0,
-                                  sched, keys)
-
-            return jax.vmap(one_seed)(params_ens)
-
-        logw_s, z_s = run_ens(params_ens, x_rep, z0, keys)  # [S,B], [S,B,L]
-        logw_mat = logw_s.reshape(S, n_sample, B0_run).transpose(0, 2, 1)
-        lw = (jax.scipy.special.logsumexp(logw_mat[:, :B0], axis=2)
+        # module-level jit: sched/keys are runtime args, so repeated calls
+        # with the same SHAPES (every split of a suite, every test) hit
+        # jax's own compile cache instead of re-tracing a fresh closure
+        logw_s, z_s = _run_gauss_ensemble(params_ens, x_rep, z0, sched,
+                                          keys)  # [S,B], [S,B,L]
+        logw_mat, lats_s = _chain_views(logw_s, z_s, n_sample, B0_run, B0,
+                                        cfg.latent_dim)
+        lw = (jax.scipy.special.logsumexp(logw_mat, axis=-1)
               - jnp.log(n_sample))  # [S, B0]
-        logws = np.asarray(jax.device_get(jnp.mean(lw, axis=1)))  # [S]
-        lats = np.asarray(jax.device_get(
-            z_s.reshape(S, n_sample, B0_run, cfg.latent_dim)
-            .transpose(0, 2, 1, 3)[:, :B0]))
+        logws = np.asarray(jax.device_get(jnp.mean(lw, axis=-1)))  # [S]
+        lats = np.asarray(jax.device_get(lats_s))
         results[split.stage] = AISResult(logw=logws, latents=lats)
         if save:
             base = os.path.join(
@@ -344,8 +353,8 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
                 f"{cfg.missing_rate}_missing", f"{cfg.epoch}_epochs",
             )
             lat_base = base.replace("elbos", "latents")
-            for s in range(S):
-                sfx = "" if s == 0 else f".seed{s}"
+            for s in range(logws.shape[0]):
+                sfx = checkpoint.seed_suffix(s)
                 artifacts.save_tensor(
                     float(logws[s]),
                     os.path.join(base, f"{split.stage}_ais.pt{sfx}"))

@@ -100,3 +100,28 @@ def load(template_params, path: str):
             )
         new_leaves.append(arr.astype(np.asarray(leaf).dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def seed_suffix(s: int) -> str:
+    """Artifact suffix for seed replica s: '' for seed 0 (which keeps the
+    reference artifact contract), '.seed{s}' for the extra replicas written
+    by `-ensemble true -seeds N` runs."""
+    return "" if s == 0 else f".seed{s}"
+
+
+def load_seed_ensemble(cfg: RunConfig, model, obs_dim: int, n_seeds: int,
+                       root: str = "experiments"):
+    """Load the n_seeds seed-replica checkpoints of one config
+    (checkpoint.pt + .seed{s} siblings from an `imputation.py -ensemble
+    true -seeds N` run) stacked on a leading [S] axis — the params_ens
+    layout every *_ensemble evaluator consumes. Raises FileNotFoundError
+    with the missing path if a seed was never trained. The `.seed{s}`
+    suffix contract lives HERE, next to the path mangling, so the
+    ais_eval/active_learning entry points can't drift apart."""
+    import jax.numpy as jnp
+
+    template = model.init(jax.random.PRNGKey(0), cfg, obs_dim)
+    base = checkpoint_path(cfg, root)
+    replicas = [load(template, base + seed_suffix(s))
+                for s in range(n_seeds)]
+    return jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)

@@ -177,7 +177,7 @@ def eval_vae(dataset: Dataset, cfg: RunConfig, params=None,
 
 def eval_vae_ensemble(datasets, cfgs, params_ens,
                       experiments_root: str = "experiments", key=None,
-                      save: bool = True):
+                      save: bool = True, save_rows=None):
     """Evaluate an [S]-replica ensemble (parallel/sweep.train_split_ensemble)
     with ONE compiled program per stage: the single-replica split evaluator
     vmapped over the stacked replica params and per-replica (x, mask) tables.
@@ -190,6 +190,13 @@ def eval_vae_ensemble(datasets, cfgs, params_ens,
     exactly as each serial run would derive it), same aggregation, same
     reference-named artifact files (reference loop:
     src/experiment_main/evaluate.py:136-297).
+
+    `save_rows` restricts artifact writes to those replica rows (all rows
+    when None). Seed-replicated groups (`-seeds N` repeats cfgs n_seeds
+    times) pass the seed-0 rows: every seed of a config shares the same
+    reference artifact path, so saving all rows would rewrite each file
+    n_seeds times with last-seed-wins — the artifact policy lives HERE, at
+    the engine layer, not in the entry script.
 
     Returns [ {stage: {metric: float}} ] aligned with `cfgs`.
     """
@@ -235,10 +242,12 @@ def eval_vae_ensemble(datasets, cfgs, params_ens,
         xs = jnp.stack([s.x for s in splits])
         ms = jnp.stack([s.mask for s in splits])
         agg_s = jax.device_get(ens_fn(params_ens, xs, ms, keys))
+        rows = range(S) if save_rows is None else save_rows
+        rows = set(rows)
         for i, cfg in enumerate(cfgs):
             agg = {k: float(np.asarray(v)[i]) for k, v in agg_s.items()}
             results[i][stage] = agg
-            if save:
+            if save and i in rows:
                 _save_eval_artifacts(cfg, model, stage, agg,
                                      experiments_root)
     return results

@@ -62,7 +62,10 @@ def mutual_information_kde(params, x, mask, cfg: RunConfig, key=None):
     bandwidth). The reference approximates q_agg as a single Gaussian with
     coordinate-wise mean statistics (src/models/VAE.py:153-158) — exact only
     when all posteriors coincide; the KDE form tracks multi-modal aggregates.
-    Non-negative in expectation; ~0 for an input-independent encoder."""
+    q_agg is evaluated leave-one-out (each z_i scored against the other
+    B−1 kernels) — the self-kernel term otherwise inflates log q_agg(z_i)
+    and biases MI downward, badly at small B. Non-negative in expectation;
+    ~0 for an input-independent encoder."""
     from vae_posterior_consistency_tpu.nn.tensor_utils import (
         gaussian_kde_log_eval,
     )
@@ -82,5 +85,5 @@ def mutual_information_kde(params, x, mask, cfg: RunConfig, key=None):
         mean, logvar = mean[:, 0, :], logvar[:, 0, :]
     z = reparameterize(key, mean, logvar)  # [B, L], one sample per row
     log_q = jnp.sum(normal_logpdf(z, mean, logvar), axis=-1)
-    log_q_agg = gaussian_kde_log_eval(z, z)
+    log_q_agg = gaussian_kde_log_eval(z, z, loo=True)
     return jnp.mean(log_q - log_q_agg)

@@ -118,17 +118,29 @@ def _pointnet_affine(params):
     return A, C
 
 
-def _pointnet_pool(params, x, mask):
+def _pointnet_pool_multi(params, x, masks):
+    """Pool the shared [B, D, K] embedding under a STACK of masks
+    [S, B, D] -> [S, B, K]. The single definition of the fused-kernel/XLA
+    dispatch and the bf16-store/f32-accumulate policy — both the
+    single-mask and the q/p-branch callers go through here, so the gating
+    and dtype rules cannot drift apart."""
     if fused_embed_pool.enabled():
         # opt-in Pallas fused embed+pool (measured slower than XLA's own
         # fusion at the bench shape — ops/fused_embed_pool.py docstring)
         A, C = _pointnet_affine(params)
-        return fused_embed_pool.embed_pool(x, mask[None], A, C)[0]
+        return fused_embed_pool.embed_pool(x, masks, A, C)
     # pool in f32 regardless of the embed's storage dtype (bf16 emb halves
     # the HBM traffic; the 784-term reduction still accumulates in f32 —
-    # the convert fuses into the reduce, nothing f32 is materialized)
+    # the convert fuses into the reduce, nothing f32 is materialized).
+    # einsum and broadcast-multiply+sum canonicalize to the same reduce
+    # (checked bitwise on CPU), so one spelling serves every caller.
     emb = _pointnet_embed(params, x).astype(jnp.float32)
-    return jnp.sum(mask[..., None] * emb, axis=-2)  # [B, K]
+    return jnp.einsum("sbd,bdk->sbk", masks, emb,
+                      preferred_element_type=jnp.float32)
+
+
+def _pointnet_pool(params, x, mask):
+    return _pointnet_pool_multi(params, x, mask[None])[0]  # [B, K]
 
 
 def pointnet_encoder_apply_2masks(params, x, mask_q, mask_p):
@@ -143,20 +155,9 @@ def pointnet_encoder_apply_2masks(params, x, mask_q, mask_p):
     the single largest op in the profiled training step (25% of step
     time, profiles/mnist_eddi). Values are identical to two independent
     passes; only the batch-dim layout differs."""
-    if fused_embed_pool.enabled():
-        # opt-in Pallas fused embed+pool (measured slower than XLA's own
-        # fusion at the bench shape — ops/fused_embed_pool.py docstring)
-        A, C = _pointnet_affine(params)
-        agg = fused_embed_pool.embed_pool(
-            x, jnp.stack([mask_q, mask_p]), A, C)
-    else:
-        # shared [B, D, K] embed (bf16-stored under
-        # compute_dtype='bfloat16'); the pool contracts in f32
-        # (see _pointnet_pool)
-        emb = _pointnet_embed(params, x).astype(jnp.float32)
-        masks = jnp.stack([mask_q, mask_p])  # [2, B, D]
-        agg = jnp.einsum("sbd,bdk->sbk", masks, emb,
-                         preferred_element_type=jnp.float32)
+    # shared [B, D, K] embed pooled under both branch masks in one
+    # contraction (dispatch + dtype policy: _pointnet_pool_multi)
+    agg = _pointnet_pool_multi(params, x, jnp.stack([mask_q, mask_p]))
     h = core.mlp_apply(params["pnp2"], agg, hidden_act="relu")
     mean, logvar = jnp.split(h, 2, axis=-1)
     return mean, logvar

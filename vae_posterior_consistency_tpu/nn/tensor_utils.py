@@ -83,9 +83,16 @@ def searchsorted(bin_locations, inputs, eps=1e-6):
     ) - 1
 
 
-def gaussian_kde_log_eval(samples, query):
+def gaussian_kde_log_eval(samples, query, loo: bool = False):
     """Log of a Gaussian KDE fitted on `samples` [N, D], evaluated at `query`
-    [M, D] (Scott's-rule bandwidth)."""
+    [M, D] (Scott's-rule bandwidth).
+
+    `loo=True` excludes the i-th sample's own kernel when evaluating at
+    query row i (requires query to BE the fit samples, row-aligned): the
+    leave-one-out form drops the self-kernel term that otherwise inflates
+    the density at its own fit points, which in small-N / moderate-D
+    regimes dominates the estimate (e.g. N=16, D=8: the self term alone
+    contributes −D·log(bw·√2π) ≈ −5.5 nats)."""
     samples = jnp.asarray(samples)
     n, d = samples.shape
     bw = n ** (-1.0 / (d + 4))
@@ -93,6 +100,13 @@ def gaussian_kde_log_eval(samples, query):
     log_kernel = -0.5 * jnp.sum(diff**2, axis=-1) - d * jnp.log(
         bw * jnp.sqrt(2 * jnp.pi)
     )
+    if loo:
+        if query.shape[0] != n:
+            raise ValueError("loo=True needs query == samples (row-aligned)")
+        log_kernel = jnp.where(jnp.eye(n, dtype=bool), -jnp.inf, log_kernel)
+        return jax.scipy.special.logsumexp(log_kernel, axis=1) - jnp.log(
+            n - 1
+        )
     return jax.scipy.special.logsumexp(log_kernel, axis=1) - jnp.log(n)
 
 
