@@ -1,0 +1,76 @@
+"""End-to-end CLI coverage of the `-seeds N` pipeline: the imputation grid
+writes seed-replica checkpoints (seed 0 on the reference artifact contract,
+`.seed{s}` siblings for the rest — engine/checkpoint.seed_suffix), eval
+artifacts are written once (seed-0 rows only, eval_vae_ensemble's
+save_rows), and ais_eval consumes the replicas through
+checkpoint.load_seed_ensemble with its defaults taken from the grid record
+matching `-vae_type`. (Reference serial loops:
+src/experiment_main/imputation.py:21-25; src/utils/AIS.py:80-91.)"""
+
+import json
+import os
+import subprocess
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _record(**kw):
+    return json.dumps({k: {"default": v, "help": ""} for k, v in kw.items()})
+
+
+def _env():
+    env = dict(os.environ)
+    env.update(
+        VPC_PLATFORM="cpu",
+        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
+    )
+    return env
+
+
+def test_seeds_pipeline_imputation_then_ais(tmp_path, tiny_dataset):
+    data_dir = tmp_path / "Data"
+    data_dir.mkdir()
+    (data_dir / "synth_small").symlink_to(
+        os.path.join(tiny_dataset, "synth_small"))
+    common = dict(data_type="synth_small", epoch=4, batch_size=16, M=2,
+                  train_k=2, valid_k=3, latent_dim=4, hid_dim=64)
+    # record[0] at a DIFFERENT missing rate than the vanilla_vae record:
+    # ais_eval must take its checkpoint-path defaults from the matching
+    # record, not record[0] (the bug the two-pass parse fixed)
+    (data_dir / "imputation_args.json").write_text(
+        _record(vae_type="reg_MIWAE1", missing_rate=50, **common) + "\n"
+        + _record(vae_type="vanilla_vae1", missing_rate=30, **common) + "\n")
+
+    out = subprocess.run(
+        ["python3", os.path.join(REPO, "experiment_main", "imputation.py"),
+         "-ensemble", "true", "-seeds", "2"],
+        cwd=tmp_path, env=_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "seeds=2" in out.stdout and "±" in out.stdout
+
+    ck = (tmp_path / "experiments" / "UCI_experiments_consistency_missingness"
+          / "synth_small" / "checkpoints" / "vanilla_vae")
+    base = ck / "checkpoint_vanilla_vae1_30_missing_rate_test.pt"
+    assert base.exists() and (ck / (base.name + ".seed1")).exists()
+    assert not (ck / (base.name + ".seed0")).exists()  # seed 0 unsuffixed
+    # eval artifacts written once, at the reference (seed-0) paths only
+    rest_dir = (tmp_path / "experiments"
+                / "UCI_experiments_consistency_missingness" / "synth_small"
+                / "rest" / "vanilla_vae")
+    names = sorted(p.name for p in rest_dir.iterdir())
+    assert [n for n in names if "rmse" in n], names
+    assert not [n for n in names if ".seed" in n], names
+
+    out = subprocess.run(
+        ["python3", os.path.join(REPO, "experiment_main", "ais_eval.py"),
+         "-vae_type", "vanilla_vae1", "-seeds", "2"],
+        cwd=tmp_path, env=_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    # per-seed AIS estimates with error bars on both splits
+    assert "[train] AIS log p(x)" in out.stdout and "s1=" in out.stdout
+    elbos = (tmp_path / "experiments" / "vanilla_vae1" / "synth_small"
+             / "elbos" / "30_missing" / "4_epochs")
+    assert (elbos / "train_ais.pt").exists()
+    assert (elbos / "train_ais.pt.seed1").exists()
