@@ -173,10 +173,41 @@ def _bench_mnist_eval(batch: int = 1024, M: int = 10):
     return M * MNIST_ROWS / best
 
 
+def _init_watchdog(timeout_s: float = 900.0):
+    """Abort loudly if backend init hangs. A dead tunnel relay makes
+    jax.devices() block FOREVER in connect-retry (observed 2026-08-17:
+    the relay's 8082/8083 listeners vanished and every fresh process hung
+    at init for hours); normal init is seconds, so 15 min is generous and
+    far above the observed 58-483 s compile-service variance, which only
+    affects later compiles anyway. Returns an Event the caller sets once
+    devices answer (disarms the watchdog)."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: device init did not complete in {timeout_s:.0f}s "
+                "— TPU tunnel unreachable; aborting instead of hanging",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return done
+
+
 def main():
     from vae_posterior_consistency_tpu.config import RunConfig
     from vae_posterior_consistency_tpu.engine.train import _build_epoch_runner
     from vae_posterior_consistency_tpu.models import get_model
+
+    armed = _init_watchdog()
+    jax.devices()  # blocks on backend/tunnel init
+    armed.set()
 
     cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", batch_size=64,
                     latent_dim=10, alpha=1.0, p_missingness=30)
