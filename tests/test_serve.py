@@ -73,3 +73,33 @@ def test_http_round_trip():
     assert len(out["imputed"]) == 1
     assert len(out["imputed"][0]) == D
     assert len(out["row_score"]) == 1
+
+
+def test_mesh_serving_matches_single_device():
+    """`mesh=` shards request rows over dp (params replicated): outputs
+    must match the single-device server on every bucket path, buckets
+    round up to dp multiples, and the input actually lands sharded."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=4)
+    model = get_model(cfg)
+    D = 6
+    params = model.init(jax.random.PRNGKey(0), cfg, D)
+    mesh = meshlib.make_mesh(jax.devices()[:8])  # dp=4, tp=2
+    ref = ImputationServer(params, cfg, D, buckets=(4, 16))
+    srv = ImputationServer(params, cfg, D, buckets=(1, 6, 16), mesh=mesh)
+    assert srv.buckets == (4, 8, 16)  # rounded up to dp=4 multiples
+
+    rng = np.random.default_rng(1)
+    for n in (1, 5, 16, 33):
+        x = rng.uniform(0, 1, (n, D)).astype(np.float32)
+        mask = (rng.random((n, D)) > 0.3).astype(np.float32)
+        # same bucket => same ctr-keyed program inputs; keep counters aligned
+        f_ref, s_ref = ref.impute(x, mask)
+        f_mesh, s_mesh = srv.impute(x, mask)
+        np.testing.assert_allclose(f_mesh, f_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s_mesh, s_ref, rtol=1e-5, atol=1e-6)

@@ -200,9 +200,28 @@ def eval_vae_ensemble(datasets, cfgs, params_ens,
 
     Returns [ {stage: {metric: float}} ] aligned with `cfgs`.
     """
+    import dataclasses as _dc
+
     import numpy as np
 
     S = len(cfgs)
+    # every replica evaluates under cfgs[0]'s traced hyperparameters (alpha,
+    # M, valid_k ... enter eval_step's math), so the group must agree on
+    # everything but the vae_type split digit — otherwise replica i's
+    # metrics would be computed with cfg_0's values yet saved under cfg_i's
+    # artifact path, silently wrong. Same normalization as the program
+    # caches (train._program_cache_key).
+    def _ident(cfg):
+        stripped = "".join(c for c in cfg.vae_type if not c.isdigit())
+        return _dc.astuple(cfg.replace(vae_type=stripped))
+
+    bad = [c.vae_type for c in cfgs if _ident(c) != _ident(cfgs[0])]
+    if bad:
+        raise ValueError(
+            "eval_vae_ensemble needs config-identical replicas (only the "
+            f"vae_type split digit may differ); {bad} disagree with "
+            f"{cfgs[0].vae_type} — evaluate those through eval_vae instead"
+        )
     model = get_model(cfgs[0])
     num_samples = cfgs[0].valid_k if model.eval_kind == "miwae" else None
     key = jax.random.PRNGKey(cfgs[0].seed + 1) if key is None else key
@@ -259,6 +278,25 @@ def eval_vae_ensemble(datasets, cfgs, params_ens,
 eval_miwae = eval_vae
 
 
+def _mnar_one_rep(model, cfg, data, mask, num_samples):
+    """One MNAR rep: fresh full-matrix mask_p, one eval_step, global RMSE
+    over the missing cells. The SINGLE definition serves eval_vae_mnar and
+    eval_vae_mnar_ensemble — their replica-0-reproduces-serial contract is
+    this sharing, not two hand-synced copies."""
+
+    def one_rep(params, k):
+        k_maskp, k_model = jax.random.split(k)
+        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
+        out = model.eval_step(params, data, mask, mask_p, k_model, cfg,
+                              **({"num_samples": num_samples}
+                                 if num_samples else {}))
+        hole = 1.0 - mask
+        se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
+        return jnp.sqrt(se / jnp.sum(hole))
+
+    return one_rep
+
+
 def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
                   experiments_root: str = "experiments", key=None,
                   save: bool = True) -> float:
@@ -278,15 +316,7 @@ def eval_vae_mnar(data, mask, cfg: RunConfig, params=None,
     key = jax.random.PRNGKey(cfg.seed + 2) if key is None else key
     num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
 
-    def one_rep(params, k):
-        k_maskp, k_model = jax.random.split(k)
-        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
-        out = model.eval_step(params, data, mask, mask_p, k_model, cfg,
-                              **({"num_samples": num_samples}
-                                 if num_samples else {}))
-        hole = 1.0 - mask
-        se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
-        return jnp.sqrt(se / jnp.sum(hole))
+    one_rep = _mnar_one_rep(model, cfg, data, mask, num_samples)
 
     @jax.jit
     def all_reps(params, keys):
@@ -326,15 +356,7 @@ def eval_vae_mnar_ensemble(data, mask, cfg: RunConfig, params_ens,
     key = jax.random.PRNGKey(cfg.seed + 2) if key is None else key
     num_samples = cfg.valid_k if model.eval_kind == "miwae" else None
 
-    def one_rep(params, k):
-        k_maskp, k_model = jax.random.split(k)
-        mask_p = masks.sub_mask(k_maskp, mask, cfg.p_missingness)
-        out = model.eval_step(params, data, mask, mask_p, k_model, cfg,
-                              **({"num_samples": num_samples}
-                                 if num_samples else {}))
-        hole = 1.0 - mask
-        se = jnp.sum(jnp.square(out["x_imputed"] * hole - data * hole))
-        return jnp.sqrt(se / jnp.sum(hole))
+    one_rep = _mnar_one_rep(model, cfg, data, mask, num_samples)
 
     @jax.jit
     def all_replicas(params_ens, keys):

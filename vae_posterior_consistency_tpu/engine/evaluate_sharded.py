@@ -91,7 +91,9 @@ def eval_vae_sharded(dataset, cfg: RunConfig, mesh, params=None,
     — statistically equivalent, and exact for the row-mean metrics when the
     split divides evenly.
     """
-    from vae_posterior_consistency_tpu.engine import artifacts
+    from vae_posterior_consistency_tpu.engine.evaluate import (
+        _save_eval_artifacts,
+    )
     from vae_posterior_consistency_tpu.engine.train import load_trained
 
     model = get_model(cfg)
@@ -110,18 +112,7 @@ def eval_vae_sharded(dataset, cfg: RunConfig, mesh, params=None,
         )
         results[split.stage] = agg
         if save:
-            if model.eval_kind == "miwae":
-                paths = artifacts.eval_miwae_paths(cfg, split.stage,
-                                                   experiments_root)
-                artifacts.save_tensor(agg["rmse"], paths["rmse"])
-            else:
-                paths = artifacts.eval_vae_paths(cfg, split.stage,
-                                                 experiments_root)
-                artifacts.save_tensor(agg["rmse"], paths["rmse"])
-                artifacts.save_tensor(agg["loss"], paths["elbo"])
-                artifacts.save_tensor(agg["negl"], paths["negll"])
-                artifacts.save_tensor(agg["negl_imp"], paths["negll_imp"])
-            for name, val in agg.items():
-                artifacts.log_metric(cfg, name, val, split.stage,
-                                     experiments_root)
+            # one artifact contract for the single-chip and mesh paths
+            _save_eval_artifacts(cfg, model, split.stage, agg,
+                                 experiments_root)
     return results

@@ -33,8 +33,20 @@ class ImputationServer:
         self.cfg = cfg
         self.model = get_model(cfg)
         self.obs_dim = obs_dim
-        self.buckets = tuple(sorted(buckets))
         self.mesh = mesh
+        self._row_sharding = None
+        if mesh is not None:
+            # rows shard over dp: params replicate, request rows split, and
+            # XLA partitions the whole compiled program from the input
+            # shardings alone (row-independent math, zero collectives).
+            # Buckets round up to dp multiples so shards stay even.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = mesh.shape["dp"]
+            buckets = {-(-b // dp) * dp for b in buckets}
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+            self._row_sharding = NamedSharding(mesh, P("dp", None))
+        self.buckets = tuple(sorted(buckets))
         self.params = params
         self._base_key = jax.random.PRNGKey(cfg.seed + 9)
         # host-side request counter; key derived inside the jit. itertools
@@ -88,8 +100,11 @@ class ImputationServer:
             mask = np.concatenate(
                 [mask, np.ones((pad, mask.shape[1]), np.float32)]
             )
-        filled, negll = self._impute(self.params, jnp.asarray(x),
-                                     jnp.asarray(mask), self._base_key,
+        x, mask = jnp.asarray(x), jnp.asarray(mask)
+        if self._row_sharding is not None:
+            x = jax.device_put(x, self._row_sharding)
+            mask = jax.device_put(mask, self._row_sharding)
+        filled, negll = self._impute(self.params, x, mask, self._base_key,
                                      np.uint32(next(self._ctr)))
         # one batched device->host readback for both outputs
         filled, negll = jax.device_get((filled, negll))

@@ -57,15 +57,7 @@ def make_train_step(cfg: RunConfig, model=None) -> tuple[Callable, "optax.Gradie
 
     def step(params, opt_state, x, mask, key, epoch):
         k_mask, k_model = jax.random.split(key)
-        if info.regularized:
-            mask_p = masks.sub_mask(k_mask, mask, cfg.p_missingness)
-            eff_mask = mask
-        elif info.with_drop:
-            mask_p = jnp.ones_like(mask)
-            eff_mask = mask * masks.eddi_drop_mask(k_mask, mask.shape)
-        else:
-            mask_p = jnp.ones_like(mask)
-            eff_mask = mask
+        eff_mask, mask_p = masks.train_masks(info, cfg, k_mask, mask)
 
         def loss_fn(p):
             return model.train_loss(p, x, eff_mask, mask_p, k_model, epoch, cfg)
@@ -184,15 +176,7 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
                 m_b = jax.lax.dynamic_slice(
                     m_epoch, (s * bsz, 0), (bsz, m_epoch.shape[1]))
                 k_mask, k_model = kpair[0], kpair[1]
-                if info.regularized:
-                    mask_p = masks.sub_mask(k_mask, m_b, cfg.p_missingness)
-                    eff_mask = m_b
-                elif info.with_drop:
-                    mask_p = jnp.ones_like(m_b)
-                    eff_mask = m_b * masks.eddi_drop_mask(k_mask, m_b.shape)
-                else:
-                    mask_p = jnp.ones_like(m_b)
-                    eff_mask = m_b
+                eff_mask, mask_p = masks.train_masks(info, cfg, k_mask, m_b)
                 loss, grads = jax.value_and_grad(loss_fn)(
                     pflat, x_b, eff_mask, mask_p, k_model,
                     (epoch + 1).astype(jnp.float32),
@@ -263,15 +247,7 @@ def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
     @jax.jit
     def val_loss(pflat, key):
         k_mask, k_model = jax.random.split(key)
-        if info.regularized:
-            mask_p = masks.sub_mask(k_mask, mask, cfg.p_missingness)
-            eff_mask = mask
-        elif info.with_drop:
-            mask_p = jnp.ones_like(mask)
-            eff_mask = mask * masks.eddi_drop_mask(k_mask, mask.shape)
-        else:
-            mask_p = jnp.ones_like(mask)
-            eff_mask = mask
+        eff_mask, mask_p = masks.train_masks(info, cfg, k_mask, mask)
         return model.train_loss(unravel(pflat), x, eff_mask, mask_p, k_model,
                                 fixed_epoch, cfg)[0]
 

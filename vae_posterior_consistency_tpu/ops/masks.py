@@ -105,3 +105,19 @@ def toy_mask(key: jax.Array, batch_size: int, missing_rate) -> jax.Array:
     perm = jax.random.permutation(key, batch_size)
     col1 = jnp.zeros((batch_size,), jnp.float32).at[perm[:n_given]].set(1.0)
     return jnp.stack([jnp.ones((batch_size,), jnp.float32), col1], axis=1)
+
+
+def train_masks(info, cfg, k_mask, mask):
+    """The reference's per-batch training-mask dispatch
+    (src/experiment_main/train.py:31-58), returning (eff_mask, mask_p):
+      reg families:      mask_p = MCAR(p_missingness)*mask, eff = mask
+      with_drop vanilla: eff = mask * eddi_drop,  mask_p = ones
+      plain vanilla:     eff = mask,              mask_p = ones
+    ONE definition serves the eager step, the chunked hot loop, the
+    early-stopping validation objective, and the sweep ensembles — the
+    training and validation objectives cannot drift apart."""
+    if info.regularized:
+        return mask, sub_mask(k_mask, mask, cfg.p_missingness)
+    if info.with_drop:
+        return mask * eddi_drop_mask(k_mask, mask.shape), jnp.ones_like(mask)
+    return mask, jnp.ones_like(mask)

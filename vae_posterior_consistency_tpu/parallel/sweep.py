@@ -93,14 +93,9 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
     grad_fn = jax.value_and_grad(total_loss, has_aux=True)
 
     def make_masks(k_mask, m_b):
-        """(eff_mask, mask_p) for one replica's batch — same dispatch as the
-        serial step (engine/train.py:make_train_step)."""
-        if info.regularized:
-            return m_b, masks_ops.sub_mask(k_mask, m_b, cfg.p_missingness)
-        if info.with_drop:
-            return m_b * masks_ops.eddi_drop_mask(k_mask, m_b.shape), \
-                jnp.ones_like(m_b)
-        return m_b, jnp.ones_like(m_b)
+        """(eff_mask, mask_p) for one replica's batch — the serial step's
+        dispatch, shared via ops/masks.train_masks."""
+        return masks_ops.train_masks(info, cfg, k_mask, m_b)
 
     @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
     def run_chunk(Pmat, opt_state, epoch0, n_epochs):
@@ -226,7 +221,8 @@ def shard_ensemble(Pmat, opt_state, mesh):
 
 def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
     """Compile the n_seeds-replica chunk runner; returns
-    (run_chunk, Pmat, opt_state) with Pmat the [S, P] flat ensemble.
+    (run_chunk, Pmat, opt_state, unravel) with Pmat the [S, P] flat
+    ensemble and unravel the per-row flat->pytree view.
     run_chunk(Pmat, opt_state, epoch0, n_epochs) -> (Pmat, opt_state,
     losses [n_epochs, n_seeds]). Exposed separately so benchmarks can
     time/cost-analyze the compiled program directly (bench.py ensemble
@@ -252,7 +248,7 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
     opt_state = tx.init(Pmat)
     if mesh is not None:
         Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    return run_chunk, Pmat, opt_state
+    return run_chunk, Pmat, opt_state, unravel
 
 
 def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
@@ -265,15 +261,10 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     collectives — replicas are independent; see shard_ensemble), padding
     S to a multiple of dp internally (padded rows are sliced off here).
     """
-    model = get_model(cfg)
     seeds = list(seeds)  # normalize once — the sequence is consumed twice
     S = len(seeds)
-    run_chunk, Pmat, opt_state = build_seed_ensemble_runner(dataset, cfg,
-                                                            seeds, mesh=mesh)
-    from jax.flatten_util import ravel_pytree
-
-    _, unravel = ravel_pytree(model.init(jax.random.PRNGKey(0), cfg,
-                                         dataset.obs_dim))
+    run_chunk, Pmat, opt_state, unravel = build_seed_ensemble_runner(
+        dataset, cfg, seeds, mesh=mesh)
     Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
     return jax.vmap(unravel)(Pmat[:S]), hist[:S]
