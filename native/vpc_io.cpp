@@ -25,7 +25,7 @@ extern "C" {
 // loader refuses a binary whose version doesn't match (a stale pre-change
 // .so would otherwise be called with the wrong argument list and silently
 // misbehave, e.g. dropping the ragged-CSV check).
-int64_t vpc_io_abi_version(void) { return 2; }
+int64_t vpc_io_abi_version(void) { return 3; }
 
 // ---------------------------------------------------------------------------
 // CSV ingestion
@@ -91,7 +91,7 @@ int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity,
 
   int64_t n = 0, row = 0, row_vals = 0;
   char* p = buf;
-  while (*p && n < capacity) {
+  while (*p) {
     if (*p == '\n') {
       if (row_vals > 0) {
         if (cols > 0 && row_vals != cols) {
@@ -110,9 +110,27 @@ int64_t vpc_csv_parse(const char* path, float* out, int64_t capacity,
     }
     char* end = nullptr;
     float v = std::strtof(p, &end);
-    if (end == p) {  // non-numeric token: skip it
+    // A token only counts if strtof consumed ALL of it: a partially-numeric
+    // cell ("3.1.4", "12abc") is corruption, not a value — skipping it makes
+    // the row ragged, so the error below fires (the numpy fallback raises on
+    // the same file; silent truncation would differ by host toolchain).
+    bool full_token = end != p;
+    for (char* q = end; full_token; ++q) {
+      if (*q == '\0' || *q == ',' || *q == '\n' || *q == '\r' || *q == ' ' ||
+          *q == '\t')
+        break;
+      full_token = false;
+    }
+    if (!full_token) {  // non-numeric or corrupted token: skip, don't count
       while (*p && *p != ',' && *p != '\n') ++p;
       continue;
+    }
+    if (n == capacity) {
+      // more values than rows*cols: a final row wider than the header
+      // (mid-file wide rows already hit the ragged check) — hard error,
+      // not silent truncation
+      std::free(buf);
+      return -(2 + row);
     }
     out[n++] = v;
     ++row_vals;

@@ -56,6 +56,30 @@ def test_custom_vjp_matches_autodiff():
                                    atol=1e-5)
 
 
+def test_custom_vjp_eps_cotangents():
+    """The noise inputs are differentiable too (z = mean + eps*std, so
+    d/d_eps = dz*std): the VJP once returned zeros for eps_q/eps_p, silently
+    diverging from the XLA reference for anything differentiating through
+    the noise (e.g. sticking-the-landing estimators)."""
+    args = _inputs(B=6, L=5, seed=3)
+
+    def scalarize(fn):
+        def f(*a):
+            z_q, z_p, klq, klp, klreg = fn(*a)
+            return (jnp.sum(z_q * 1.3) + jnp.sum(z_p * 0.7)
+                    + 2.0 * klq + 3.0 * klp + 0.5 * klreg)
+
+        return f
+
+    g_ours = jax.grad(scalarize(fused_posterior), argnums=(4, 5))(*args)
+    g_ref = jax.grad(scalarize(fused_posterior_reference),
+                     argnums=(4, 5))(*args)
+    for a, b in zip(g_ours, g_ref):
+        assert float(jnp.abs(a).max()) > 0.0  # not the old silent zeros
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_jittable_and_vmappable():
     args = _inputs(B=8, L=4, seed=3)
     jitted = jax.jit(fused_posterior)

@@ -59,3 +59,28 @@ def test_native_mcar_rate():
 def test_missing_file_raises():
     with pytest.raises(Exception):
         native_io.read_csv("/nonexistent/file.csv")
+
+
+def test_csv_rejects_wide_final_row(tmp_path):
+    """A final row WIDER than the header must hard-error like a mid-file
+    ragged row (pre-fix the capacity-bounded parse loop silently dropped
+    the extra values)."""
+    import pytest
+
+    p = tmp_path / "wide.csv"
+    p.write_text("1,2\n3,4,5\n")
+    with pytest.raises(ValueError, match="ragged"):
+        native_io.read_csv(str(p))
+
+
+def test_csv_rejects_partially_numeric_tokens(tmp_path):
+    """Corrupted cells ('3.1.4', '12abc') must error, matching the numpy
+    fallback (np.loadtxt raises on the same file) — pre-fix strtof silently
+    truncated them to their numeric prefix."""
+    import pytest
+
+    for cell in ("3.1.4", "12abc", "nanx"):
+        p = tmp_path / "corrupt.csv"
+        p.write_text(f"1,2\n{cell},4\n")
+        with pytest.raises(ValueError):
+            native_io.read_csv(str(p))

@@ -295,3 +295,24 @@ def test_mutual_information_kde_small_batch_not_negative():
     # info=+2.98, const=+1.50 (the residual is KDE finite-sample bias at
     # B=16, D=8 — shared by both cases, so the ordering is trustworthy)
     assert mi_const > -1.0 and mi_info > 0.0
+
+
+def test_gaussian_kde_scott_scale_equivariance():
+    """Scott's rule is per-dimension (h_j = sigma_j * n^(-1/(d+4))): scaling
+    the data by `a` must shift the log-density by exactly -sum(log a_j)
+    (change of variables), which only holds when the bandwidth tracks the
+    data scale — pre-fix a collapsed/wide dim was over/under-smoothed."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.nn import tensor_utils as tu
+
+    z = jax.random.normal(jax.random.PRNGKey(2), (64, 3))
+    q = jax.random.normal(jax.random.PRNGKey(3), (5, 3)) * 0.5
+    a = jnp.asarray([0.1, 1.0, 3.0])
+    base = tu.gaussian_kde_log_eval(z, q)
+    scaled = tu.gaussian_kde_log_eval(z * a, q * a)
+    np.testing.assert_allclose(np.asarray(scaled),
+                               np.asarray(base - jnp.sum(jnp.log(a))),
+                               rtol=1e-5, atol=1e-5)

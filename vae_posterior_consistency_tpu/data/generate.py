@@ -108,8 +108,21 @@ def generate_mnist(root: str, rate=30, seed=1234) -> None:
         os.path.join(out_dir, f"experiment_{s}_{k}.pt")
         for s in ("train", "test") for k in ("data", "mask")
     ]
-    if all(os.path.exists(p) for p in expected):
+    present = [p for p in expected if os.path.exists(p)]
+    if len(present) == len(expected):
         return
+    if present:
+        # a PARTIAL set (e.g. an interrupted convert_mnist_idx.py run) must
+        # not be silently completed with stand-ins, nor overwritten — either
+        # would mix genuine and fabricated tensors under one dataset
+        missing = sorted(set(expected) - set(present))
+        raise FileExistsError(
+            f"partial MNIST artifact set in {out_dir}: "
+            f"{[os.path.basename(p) for p in present]} exist but "
+            f"{[os.path.basename(p) for p in missing]} do not — finish the "
+            "genuine conversion (tools/convert_mnist_idx.py) or delete the "
+            "partial files to regenerate stand-ins"
+        )
     rng = np.random.default_rng(seed)
     from sklearn.datasets import load_digits
 

@@ -32,7 +32,7 @@ _build_failed = False
 #: must match native/vpc_io.cpp:vpc_io_abi_version — the loader refuses a
 #: stale .so (e.g. built before a signature change, with the source since
 #: removed) rather than calling it with the wrong argument list.
-_ABI_VERSION = 2
+_ABI_VERSION = 3
 
 
 def _load():

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from vae_posterior_consistency_tpu.models import layers
 from vae_posterior_consistency_tpu.ops.math import (
-    kl_diag_diag_scale,
+    kl_diag_diag_scale_elems,
     normal_logpdf,
     normal_logpdf_scale,
     student_t_logpdf,
@@ -117,7 +117,7 @@ def train_loss(params, x, mask, mask_p, key, epoch, cfg, num_samples=None):
     extra = (mask * (1.0 - mask_p))[:, None, :]
     reg_like = jnp.mean(jnp.sum(log_pxz_q * extra, axis=-1))
     KL_reg = jnp.mean(
-        kl_diag_diag_scale(out_q["mean"], out_q["scale"], out_p["mean"],
+        kl_diag_diag_scale_elems(out_q["mean"], out_q["scale"], out_p["mean"],
                            out_p["scale"])
     )
     loss = neg_bound_q + cfg.alpha * (KL_reg - neg_bound_q + neg_bound_p - reg_like)
@@ -151,7 +151,7 @@ def eval_step(params, x, mask, mask_p, key, cfg, num_samples=None):
     extra = (mask * (1.0 - mask_p))[:, None, :]
     row_reg_like = jnp.mean(jnp.sum(log_pxz_q * extra, axis=-1), axis=1)
     row_kl_reg = jnp.mean(
-        kl_diag_diag_scale(out_q["mean"], out_q["scale"], out_p["mean"],
+        kl_diag_diag_scale_elems(out_q["mean"], out_q["scale"], out_p["mean"],
                            out_p["scale"]),
         axis=-1,
     )

@@ -95,10 +95,16 @@ def gaussian_kde_log_eval(samples, query, loo: bool = False):
     contributes −D·log(bw·√2π) ≈ −5.5 nats)."""
     samples = jnp.asarray(samples)
     n, d = samples.shape
-    bw = n ** (-1.0 / (d + 4))
-    diff = (query[:, None, :] - samples[None, :, :]) / bw
-    log_kernel = -0.5 * jnp.sum(diff**2, axis=-1) - d * jnp.log(
-        bw * jnp.sqrt(2 * jnp.pi)
+    # Scott's rule is PER-DIMENSION: h_j = sigma_j * n^(-1/(d+4)). Without
+    # the data-scale factor a collapsed dim (sigma ~ 0.1) or a wide one
+    # (sigma ~ 3) gets a kernel 10x too wide/narrow relative to its spread,
+    # systematically over/under-smoothing log q. sigma is floored so a
+    # constant dim cannot produce a zero bandwidth.
+    sigma = jnp.maximum(jnp.std(samples, axis=0), 1e-6)
+    h = sigma * n ** (-1.0 / (d + 4))  # [d]
+    diff = (query[:, None, :] - samples[None, :, :]) / h
+    log_kernel = -0.5 * jnp.sum(diff**2, axis=-1) - jnp.sum(
+        jnp.log(h * jnp.sqrt(2 * jnp.pi))
     )
     if loo:
         if query.shape[0] != n:

@@ -185,7 +185,11 @@ def _bwd(res, cts):
         + dklp * 0.5 * (e_lp - 1.0)
         + dklreg * 0.5 * (1.0 - (e_lq + dm * dm) * jnp.exp(-logvar_p))
     )
-    return g_mq, g_lq, g_mp, g_lp, jnp.zeros_like(eps_q), jnp.zeros_like(eps_p)
+    # eps enters only through z = mean + eps*std, so its cotangent is
+    # dz*std — returning zeros here once diverged silently from the XLA
+    # reference path for any caller differentiating through the noise
+    # (e.g. a sticking-the-landing estimator or a full-argnum gradcheck)
+    return g_mq, g_lq, g_mp, g_lp, dz_q * std_q, dz_p * std_p
 
 
 fused_posterior.defvjp(_fwd, _bwd)

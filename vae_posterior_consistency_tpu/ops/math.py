@@ -64,18 +64,28 @@ def kl_diag_diag(mean1, logvar1, mean2, logvar2, axis=None):
     return jnp.sum(kl, axis=axis)
 
 
-def kl_diag_diag_scale(mean1, scale1, mean2, scale2, axis=None):
-    """KL for diagonal Gaussians parameterized by std (reference: VAE.py:3270-3275,
-    elementwise — caller reduces)."""
+def kl_diag_diag_scale_elems(mean1, scale1, mean2, scale2):
+    """ELEMENTWISE KL for diagonal Gaussians parameterized by std — the
+    caller reduces. The reference's MIWAE regularizer torch.means over ALL
+    elements (VAE.py:3270-3275), so the unreduced form is parity-load-
+    bearing there (models/miwae.py)."""
     logvar1 = 2.0 * jnp.log(scale1)
     logvar2 = 2.0 * jnp.log(scale2)
-    kl = 0.5 * (
+    return 0.5 * (
         logvar2
         - logvar1
         + (jnp.square(scale1) + jnp.square(mean1 - mean2)) / jnp.square(scale2)
         - 1.0
     )
-    return jnp.sum(kl, axis=axis) if axis is not None else kl
+
+
+def kl_diag_diag_scale(mean1, scale1, mean2, scale2, axis=None):
+    """Summed KL for std-parameterized diagonal Gaussians; axis=None sums
+    everything, matching the kl_diag_std / kl_diag_diag convention (the
+    elementwise form previously hid behind axis=None — a silent factor-of-
+    B*L trap when switching parameterizations; use *_elems for that)."""
+    return jnp.sum(kl_diag_diag_scale_elems(mean1, scale1, mean2, scale2),
+                   axis=axis)
 
 
 def reparameterize(key, mean, logvar):
