@@ -127,15 +127,18 @@ def _timed_chunks(runner, pflat, opt_state, epochs, reps: int = 3,
 
 
 def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
-    """Samples/s of the compiled MNIST-EDDI training loop at the given batch
-    and matmul dtype."""
+    """MNIST-EDDI training regime, one sweep point: returns
+    (samples/s, compile+warmup seconds, final loss). The ONE definition of
+    this regime's warmup + timing; tools/bench_mnist.py consumes it too."""
     runner, pflat, opt_state = _mnist_setup(batch, compute_dtype)
+    t0 = time.perf_counter()
     pflat, opt_state, losses = runner(pflat, opt_state, jax.random.PRNGKey(1),
                                       jnp.asarray(0), epochs)
     float(losses[-1])  # compile + warmup readback (axon quirk — see main())
-    best, _, _, _ = _timed_chunks(runner, pflat, opt_state, epochs,
-                                  start_epoch=epochs)
-    return epochs * MNIST_ROWS / best
+    t_compile = time.perf_counter() - t0
+    best, _, _, loss = _timed_chunks(runner, pflat, opt_state, epochs,
+                                     start_epoch=epochs)
+    return epochs * MNIST_ROWS / best, t_compile, loss
 
 
 def _bench_mnist_eval(batch: int = 1024, M: int = 10):
@@ -233,16 +236,11 @@ def main():
                                       jnp.asarray(0), BENCH_EPOCHS)
     float(losses[-1])
 
-    best = None
-    done = BENCH_EPOCHS
-    for _ in range(3):
-        t0 = time.perf_counter()
-        pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                          jnp.asarray(done), BENCH_EPOCHS)
-        float(losses[-1])  # readback barrier (~0.03 s of RTT in ~6 s)
-        dt = time.perf_counter() - t0
-        done += BENCH_EPOCHS
-        best = dt if best is None else min(best, dt)
+    # _timed_chunks IS the measurement protocol (epoch counter varied per
+    # rep, readback barriers, best-of-3) — one definition, no drift
+    best, pflat, opt_state, _ = _timed_chunks(runner, pflat, opt_state,
+                                              BENCH_EPOCHS,
+                                              start_epoch=BENCH_EPOCHS)
 
     samples_per_sec = BENCH_EPOCHS * N_ROWS / best
 
@@ -288,7 +286,7 @@ def main():
     for tag, b, dt in (("mnist_b64", 64, "float32"),
                        ("mnist_b1024", 1024, "float32"),
                        ("mnist_b1024_bf16", 1024, "bfloat16")):
-        sps = _bench_mnist(b, dt)
+        sps, _t_compile, _loss = _bench_mnist(b, dt)
         tf = sps * mnist_fps / 1e12
         out[f"{tag}_samples_per_sec"] = round(sps, 1)
         out[f"{tag}_tflops"] = round(tf, 3)

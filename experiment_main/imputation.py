@@ -66,6 +66,29 @@ def _group_records(records):
     return [groups[k] for k in order]
 
 
+def _train_and_eval_one(dataset, cfg, mesh):
+    """Train + eval ONE config, honoring `-mesh` (multi-chip engine when a
+    mesh is resolved, single-chip otherwise). Shared by the serial grid and
+    the ensemble path's unequal-shapes fallback so the two dispatch blocks
+    cannot drift apart."""
+    if mesh is not None:
+        # multi-chip engine: batch dp-sharded, wide params tp-sharded;
+        # same checkpoint/artifact contract
+        from vae_posterior_consistency_tpu.engine.evaluate_sharded import (
+            eval_vae_sharded,
+        )
+        from vae_posterior_consistency_tpu.parallel.train_parallel import (
+            train_sharded,
+        )
+
+        train_sharded(dataset, cfg, mesh, save=True)
+        print(f"=== eval {cfg.vae_type} ===")
+        return eval_vae_sharded(dataset, cfg, mesh)
+    train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch))
+    print(f"=== eval {cfg.vae_type} ===")
+    return eval_engine.eval_vae(dataset, cfg)
+
+
 def run_suite_ensembles(records, missing, alpha):
     """Train each family's split triple as ONE vmapped program, then save the
     per-config checkpoints and run ONE [S]-replica eval program per stage —
@@ -123,21 +146,8 @@ def run_suite_ensembles(records, missing, alpha):
                   f"fallback{note} ---", flush=True)
             for cfg, ds in zip(cfgs, datasets):
                 # the fallback still honors -mesh, same routing as the
-                # non-ensemble serial grid (_run_grid)
-                if mesh is not None:
-                    from vae_posterior_consistency_tpu.engine.evaluate_sharded import (  # noqa: E501
-                        eval_vae_sharded,
-                    )
-                    from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
-                        train_sharded,
-                    )
-
-                    train_sharded(ds, cfg, mesh, save=True)
-                    results = eval_vae_sharded(ds, cfg, mesh)
-                else:
-                    train_engine.train(ds, cfg,
-                                       log_fn=epoch_logger(cfg.epoch))
-                    results = eval_engine.eval_vae(ds, cfg)
+                # non-ensemble serial grid (_train_and_eval_one)
+                results = _train_and_eval_one(ds, cfg, mesh)
                 for stage, metrics in results.items():
                     print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))
@@ -196,6 +206,23 @@ def main():
 
 def _run_grid(records, probe):
     if probe.ensemble:
+        # ensemble mode groups records by family, so a `-vae_type` override
+        # restricts the grid to the matching record instead of being
+        # silently clobbered by each record's default (the serial grid
+        # applies the override to EVERY record — reference parse-per-record
+        # contract; that makes no sense for family-grouped ensembles).
+        # Undetectable edge: explicitly passing record[0]'s own default.
+        if probe.vae_type != records[0]["vae_type"]["default"]:
+            matching = [r for r in records
+                        if r["vae_type"]["default"] == probe.vae_type]
+            if not matching:
+                raise SystemExit(
+                    f"-ensemble true cannot apply -vae_type "
+                    f"{probe.vae_type!r}: not a grid record — run without "
+                    "-ensemble to train a custom single config")
+            print(f"[ensemble mode] -vae_type {probe.vae_type}: grid "
+                  f"restricted to its record", flush=True)
+            records = matching
         for missing in MISSING_SWEEP:
             for alpha in ALPHA_SWEEP:
                 run_suite_ensembles(records, missing, alpha)
@@ -222,25 +249,7 @@ def _run_grid(records, probe):
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 print(f"=== train {cfg.vae_type} (missing={missing}, "
                       f"alpha={alpha}){tag} ===")
-                if mesh is not None:
-                    # multi-chip engine: batch dp-sharded, wide params
-                    # tp-sharded; same checkpoint/artifact contract
-                    from vae_posterior_consistency_tpu.engine.evaluate_sharded import (  # noqa: E501
-                        eval_vae_sharded,
-                    )
-                    from vae_posterior_consistency_tpu.parallel.train_parallel import (  # noqa: E501
-                        train_sharded,
-                    )
-
-                    train_sharded(dataset, cfg, mesh, save=True)
-                    print(f"=== eval {cfg.vae_type} ===")
-                    results = eval_vae_sharded(dataset, cfg, mesh)
-                else:
-                    train_engine.train(
-                        dataset, cfg, log_fn=epoch_logger(cfg.epoch)
-                    )
-                    print(f"=== eval {cfg.vae_type} ===")
-                    results = eval_engine.eval_vae(dataset, cfg)
+                results = _train_and_eval_one(dataset, cfg, mesh)
                 for stage, metrics in results.items():
                     print(f"  [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))

@@ -46,12 +46,17 @@ ITERS = 200
 
 
 def _timed(fn, args):
-    out = fn(*args)
+    """Per-rep the FIRST stat gets a value-negligible rep-indexed offset:
+    byte-identical re-dispatches of the same program read ~0.1 ms through
+    the tunnel (client-side dedup, CLAUDE.md axon quirks) — without the
+    variation the pallas/xla numbers are fiction. Both paths get the same
+    treatment, so the comparison stays fair."""
+    out = fn(jnp.float32(0.0), *args)
     float(out)  # readback barrier (block_until_ready can return early here)
     best = None
-    for _ in range(REPS):
+    for r in range(REPS):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(jnp.float32((r + 1) * 1e-30), *args)
         float(out)
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
@@ -74,14 +79,14 @@ def main():
             g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))
 
             @jax.jit
-            def many(mq, lq, mp, lp):
+            def many(rep_jitter, mq, lq, mp, lp):
                 def body(carry, _):
                     mq, lq, mp, lp = carry
                     v, (gmq, glq, gmp, glp) = g(mq, lq, mp, lp)
                     return (mq + 1e-6 * gmq, lq + 1e-6 * glq,
                             mp + 1e-6 * gmp, lp + 1e-6 * glp), v
-                carry, vs = jax.lax.scan(body, (mq, lq, mp, lp), None,
-                                         length=ITERS)
+                carry, vs = jax.lax.scan(body, (mq + rep_jitter, lq, mp, lp),
+                                         None, length=ITERS)
                 return vs[-1]
 
             return many

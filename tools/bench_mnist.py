@@ -17,7 +17,6 @@ vary the epoch counter between reps so the client can't dedup, best of 3.
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,25 +31,17 @@ import jax.numpy as jnp
 from bench import (
     MNIST_DIM,
     MNIST_ROWS,
+    _bench_mnist,
     _mnist_flops_per_sample,
     _mnist_setup,
     _peak_tflops,
-    _timed_chunks,
 )
 
 
 def measure(batch: int, dtype: str, epochs: int = 30):
-    """One sweep point: (samples/s, compile_seconds, final_loss) via the
-    shared bench.py setup + timing protocol."""
-    runner, pflat, opt_state = _mnist_setup(batch, dtype)
-    t0 = time.perf_counter()
-    pflat, opt_state, losses = runner(pflat, opt_state, jax.random.PRNGKey(1),
-                                      jnp.asarray(0), epochs)
-    float(losses[-1])  # readback barrier
-    t_compile = time.perf_counter() - t0
-    best, pflat, opt_state, loss = _timed_chunks(runner, pflat, opt_state,
-                                                 epochs, start_epoch=epochs)
-    return epochs * MNIST_ROWS / best, t_compile, loss
+    """One sweep point: (samples/s, compile_seconds, final_loss) — the
+    warmup + timing body lives in bench._bench_mnist (one definition)."""
+    return _bench_mnist(batch, dtype, epochs)
 
 
 def main():

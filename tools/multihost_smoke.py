@@ -105,7 +105,21 @@ def orchestrate() -> int:
             [sys.executable, os.path.abspath(__file__), "--rank"],
             env=env,
         ))
-    rcs = [p.wait(timeout=300) for p in procs]
+    # a rank that never reaches the handshake (stale port holder, dead
+    # sibling) must not crash the orchestrator with an uncaught
+    # TimeoutExpired and leak the other child still holding the port —
+    # kill BOTH children and report FAILED instead
+    rcs = []
+    for p in procs:
+        try:
+            rcs.append(p.wait(timeout=300))
+        except subprocess.TimeoutExpired:
+            rcs.append("timeout")
+    if "timeout" in rcs:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     ok = all(rc == 0 for rc in rcs)
     print(f"multihost_smoke: 2 processes x {LOCAL_DEVICES} devices -> "
           f"{'OK' if ok else f'FAILED {rcs}'}")

@@ -275,9 +275,12 @@ def run_reference_mnar(vae_type, data_type, epochs, batch_size, seed,
 
         restore = _patch_variant_classes(not_miwae_type, reg_variant)
         # the author-variant loss prints a Bernoulli sample EVERY call
-        # (reference: VAE.py:2961) — drop that firehose
-        quiet = (contextlib.redirect_stdout(open(os.devnull, "w"))
-                 if not_miwae_type == "author" else contextlib.nullcontext())
+        # (reference: VAE.py:2961) — drop that firehose. ExitStack scopes
+        # the devnull fd (a bare open() here leaked one per seed run).
+        quiet = contextlib.ExitStack()
+        if not_miwae_type == "author":
+            devnull = quiet.enter_context(open(os.devnull, "w"))
+            quiet.enter_context(contextlib.redirect_stdout(devnull))
 
         loader, obs_dim = ref_loader("Data", vae_type, 50, batch_size,
                                      data_type)
