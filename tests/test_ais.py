@@ -123,11 +123,13 @@ def test_ais_ensemble_matches_serial(tmp_path):
 
     ens = ais.eval_ais_ensemble(ds, cfg, params_ens, n_sample=8,
                                 experiments_root=str(tmp_path))
+    # eval_ais computes BOTH splits per call — run it once per replica
+    # outside the stage loop (it was inside, doubling the AIS work)
+    serial_by_seed = [ais.eval_ais(ds, cfg, params=p_s, n_sample=8,
+                                   save=False) for p_s in replicas]
     for stage in ("train", "test"):
         assert ens[stage].logw.shape == (2,)
-        for s, p_s in enumerate(replicas):
-            serial = ais.eval_ais(ds, cfg, params=p_s, n_sample=8,
-                                  save=False)
+        for s, serial in enumerate(serial_by_seed):
             np.testing.assert_allclose(ens[stage].logw[s],
                                        serial[stage].logw, rtol=1e-5,
                                        atol=1e-5, err_msg=f"{stage}/s{s}")

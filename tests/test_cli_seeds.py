@@ -7,44 +7,27 @@ checkpoint.load_seed_ensemble with its defaults taken from the grid record
 matching `-vae_type`. (Reference serial loops:
 src/experiment_main/imputation.py:21-25; src/utils/AIS.py:80-91.)"""
 
-import json
 import os
 import subprocess
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _record(**kw):
-    return json.dumps({k: {"default": v, "help": ""} for k, v in kw.items()})
-
-
-def _env():
-    env = dict(os.environ)
-    env.update(
-        VPC_PLATFORM="cpu",
-        PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
-    )
-    return env
+from tests.cli_harness import cli_env, entry, grid_record, make_sandbox
 
 
 def test_seeds_pipeline_imputation_then_ais(tmp_path, tiny_dataset):
-    data_dir = tmp_path / "Data"
-    data_dir.mkdir()
-    (data_dir / "synth_small").symlink_to(
-        os.path.join(tiny_dataset, "synth_small"))
     common = dict(data_type="synth_small", epoch=4, batch_size=16, M=2,
                   train_k=2, valid_k=3, latent_dim=4, hid_dim=64)
     # record[0] at a DIFFERENT missing rate than the vanilla_vae record:
     # ais_eval must take its checkpoint-path defaults from the matching
     # record, not record[0] (the bug the two-pass parse fixed)
-    (data_dir / "imputation_args.json").write_text(
-        _record(vae_type="reg_MIWAE1", missing_rate=50, **common) + "\n"
-        + _record(vae_type="vanilla_vae1", missing_rate=30, **common) + "\n")
+    make_sandbox(tmp_path, tiny_dataset, [
+        grid_record(vae_type="reg_MIWAE1", missing_rate=50, **common),
+        grid_record(vae_type="vanilla_vae1", missing_rate=30, **common),
+    ])
 
     out = subprocess.run(
-        ["python3", os.path.join(REPO, "experiment_main", "imputation.py"),
+        ["python3", entry("imputation.py"),
          "-ensemble", "true", "-seeds", "2"],
-        cwd=tmp_path, env=_env(), capture_output=True, text=True,
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
         timeout=580)
     assert out.returncode == 0, out.stderr[-3000:]
     assert "seeds=2" in out.stdout and "±" in out.stdout
@@ -63,9 +46,9 @@ def test_seeds_pipeline_imputation_then_ais(tmp_path, tiny_dataset):
     assert not [n for n in names if ".seed" in n], names
 
     out = subprocess.run(
-        ["python3", os.path.join(REPO, "experiment_main", "ais_eval.py"),
+        ["python3", entry("ais_eval.py"),
          "-vae_type", "vanilla_vae1", "-seeds", "2"],
-        cwd=tmp_path, env=_env(), capture_output=True, text=True,
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
         timeout=580)
     assert out.returncode == 0, out.stderr[-3000:]
     # per-seed AIS estimates with error bars on both splits

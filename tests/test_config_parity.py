@@ -39,8 +39,12 @@ def test_default_records_match_reference(fname, ours_fn):
                 continue  # reference-only fields (e.g. later additions)
             ref_default = spec["default"]
             our_default = o[key]["default"]
-            if isinstance(ref_default, str) and not isinstance(our_default, str):
-                continue  # reference quirk: bool defaults stored as " "
+            if (isinstance(ref_default, str) and not ref_default.strip()
+                    and isinstance(our_default, bool)):
+                # the ONE reference quirk: bool defaults stored as " "
+                # (mnar beta_annealing). Any other str-vs-non-str pair is a
+                # real default drift and must fail, not be skipped.
+                continue
             assert our_default == ref_default, (
                 f"record {i} ({r['vae_type']['default']}), key {key}: "
                 f"ours={our_default!r} ref={ref_default!r}"

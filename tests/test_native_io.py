@@ -57,7 +57,10 @@ def test_native_mcar_rate():
 
 
 def test_missing_file_raises():
-    with pytest.raises(Exception):
+    # pin the TYPE: both the native path and the numpy fallback raise
+    # FileNotFoundError (a bare Exception would accept e.g. a ctypes
+    # ArgumentError from a broken binding)
+    with pytest.raises(FileNotFoundError):
         native_io.read_csv("/nonexistent/file.csv")
 
 

@@ -152,36 +152,20 @@ def test_cli_mesh_routing(tiny_dataset, tmp_path):
     sharded engines from the CLI and write the same reference-named
     checkpoint/artifacts (VERDICT r1 item 1; the reference assumes one
     device: src/experiment_main/imputation.py:16)."""
-    import json
     import os
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    data_dir = tmp_path / "Data"
-    data_dir.mkdir()
-    (data_dir / "synth_small").symlink_to(
-        os.path.join(tiny_dataset, "synth_small")
-    )
-    record = {
-        k: {"default": v, "help": ""}
-        for k, v in dict(
-            vae_type="reg_vae1", data_type="synth_small", epoch=4,
-            batch_size=16, M=2, train_k=2, valid_k=3, latent_dim=4,
-            missing_rate=30, hid_dim=64,
-        ).items()
-    }
-    (data_dir / "imputation_args.json").write_text(json.dumps(record) + "\n")
+    from tests.cli_harness import cli_env, entry, grid_record, make_sandbox
 
-    env = dict(os.environ)
-    env.update(
-        VPC_PLATFORM="cpu",
-        XLA_FLAGS="--xla_force_host_platform_device_count=8",
-        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
-    )
+    make_sandbox(tmp_path, tiny_dataset, [grid_record(
+        vae_type="reg_vae1", data_type="synth_small", epoch=4,
+        batch_size=16, M=2, train_k=2, valid_k=3, latent_dim=4,
+        missing_rate=30, hid_dim=64)])
     out = subprocess.run(
-        ["python3", os.path.join(repo, "experiment_main", "imputation.py"),
-         "-mesh", "4,2"],
-        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+        ["python3", entry("imputation.py"), "-mesh", "4,2"],
+        cwd=tmp_path,
+        env=cli_env(XLA_FLAGS="--xla_force_host_platform_device_count=8"),
+        capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "mesh={'dp': 4, 'tp': 2}" in out.stdout
@@ -248,36 +232,21 @@ def test_train_split_ensemble(tiny_dataset):
 def test_cli_ensemble_suite(tiny_dataset, tmp_path):
     """`imputation.py -ensemble true` trains split triples as ensembles from
     the CLI and writes every config's reference-named checkpoint+artifacts."""
-    import json
     import os
     import subprocess
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    data_dir = tmp_path / "Data"
-    data_dir.mkdir()
-    (data_dir / "synth_small").symlink_to(
-        os.path.join(tiny_dataset, "synth_small")
-    )
+    from tests.cli_harness import cli_env, entry, grid_record, make_sandbox
+
     base = dict(data_type="synth_small", epoch=4, batch_size=16, M=1,
                 train_k=2, valid_k=3, latent_dim=4, missing_rate=30,
                 hid_dim=32)
-    lines = []
-    for fam in ("reg_vae", "vanilla_vae"):
-        for i in "123":
-            rec = dict(base, vae_type=f"{fam}{i}")
-            lines.append(json.dumps(
-                {k: {"default": v, "help": ""} for k, v in rec.items()}))
-    (data_dir / "imputation_args.json").write_text("\n".join(lines) + "\n")
-
-    env = dict(os.environ)
-    env.update(
-        VPC_PLATFORM="cpu",
-        PYTHONPATH=repo + os.pathsep + env.get("PYTHONPATH", ""),
-    )
+    make_sandbox(tmp_path, tiny_dataset,
+                 [grid_record(vae_type=f"{fam}{i}", **base)
+                  for fam in ("reg_vae", "vanilla_vae") for i in "123"])
     out = subprocess.run(
-        ["python3", os.path.join(repo, "experiment_main", "imputation.py"),
-         "-ensemble", "true"],
-        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+        ["python3", entry("imputation.py"), "-ensemble", "true"],
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
+        timeout=600,
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert out.stdout.count("=== ensemble train") == 2  # 2 family groups

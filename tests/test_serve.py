@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vae_posterior_consistency_tpu.config import RunConfig
-from vae_posterior_consistency_tpu.engine.serve import ImputationServer, serve_http
+from vae_posterior_consistency_tpu.engine.serve import ImputationServer
 from vae_posterior_consistency_tpu.models import get_model
 
 
@@ -46,30 +46,28 @@ def test_bucketing_no_shape_blowup():
 
 def test_http_round_trip():
     srv, D = _server()
-    import socket
+    from vae_posterior_consistency_tpu.engine.serve import make_http_server
 
-    sock = socket.socket()
-    sock.bind(("127.0.0.1", 0))
-    port = sock.getsockname()[1]
-    sock.close()
-    t = threading.Thread(target=serve_http, args=(srv, "127.0.0.1", port),
-                         daemon=True)
+    # port=0: the server binds an OS-chosen free port itself (no probe-
+    # then-rebind TOCTOU race), and we read the bound port back
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    import time
-
-    payload = {"x": [[0.5] * D], "mask": [[1, 1, 0, 1, 1, 1]]}
-    for _ in range(50):
-        try:
-            req = urllib.request.Request(
-                f"http://127.0.0.1:{port}/impute",
-                data=json.dumps(payload).encode(),
-                headers={"Content-Type": "application/json"},
-            )
-            with urllib.request.urlopen(req, timeout=5) as resp:
-                out = json.loads(resp.read())
-            break
-        except OSError:
-            time.sleep(0.2)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/impute",
+            data=json.dumps(
+                {"x": [[0.5] * D], "mask": [[1, 1, 0, 1, 1, 1]]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        # the server is already bound, so no retry loop — an HTTP error
+        # (urllib raises on non-2xx) surfaces directly instead of being
+        # swallowed as "not up yet"
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            out = json.loads(resp.read())
+    finally:
+        httpd.shutdown()
     assert len(out["imputed"]) == 1
     assert len(out["imputed"][0]) == D
     assert len(out["row_score"]) == 1

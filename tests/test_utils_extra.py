@@ -77,7 +77,9 @@ def test_early_stopping(tmp_path):
     assert not es.update(1.0, p)
     assert not es.update(0.5, p)  # improvement
     assert not es.update(0.6, p)  # 1
-    assert es.update(0.7, p) or es.counter == 2  # 2 -> stop
+    # the RETURN VALUE is the stopping contract callers branch on
+    # (`if es.update(...): break`) — pin it, not just the flag
+    assert es.update(0.7, p) is True  # 2 -> stop
     assert es.early_stop
     assert os.path.exists(tmp_path / "best.pt")
     assert es.best_loss == 0.5

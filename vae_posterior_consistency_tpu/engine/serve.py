@@ -111,13 +111,12 @@ class ImputationServer:
         return filled[:n], negll[:n]
 
 
-def serve_http(server: ImputationServer, host: str = "127.0.0.1",
-               port: int = 8787):
-    """Minimal HTTP endpoint: POST /impute {"x": ..., "mask": ...}.
-
-    Threaded accept loop; device work is serialized through a lock (one
-    compiled program in flight keeps per-request latency at a single device
-    round-trip)."""
+def make_http_server(server: ImputationServer, host: str = "127.0.0.1",
+                     port: int = 8787):
+    """Build (but don't run) the HTTP endpoint; returns the bound
+    ThreadingHTTPServer. `port=0` binds an OS-chosen free port (read it
+    back from `httpd.server_address[1]`) — callers that pre-probed a free
+    port and re-bound it raced other processes for it (TOCTOU)."""
     import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -147,6 +146,17 @@ def serve_http(server: ImputationServer, host: str = "127.0.0.1",
         def log_message(self, *a):
             pass
 
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"imputation server on http://{host}:{port}/impute")
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_http(server: ImputationServer, host: str = "127.0.0.1",
+               port: int = 8787):
+    """Minimal HTTP endpoint: POST /impute {"x": ..., "mask": ...}.
+
+    Threaded accept loop; device work is serialized through a lock (one
+    compiled program in flight keeps per-request latency at a single device
+    round-trip)."""
+    httpd = make_http_server(server, host, port)
+    print(f"imputation server on http://{host}:{httpd.server_address[1]}"
+          "/impute")
     httpd.serve_forever()
