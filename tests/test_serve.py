@@ -101,3 +101,38 @@ def test_mesh_serving_matches_single_device():
         f_mesh, s_mesh = srv.impute(x, mask)
         np.testing.assert_allclose(f_mesh, f_ref, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(s_mesh, s_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_http_bad_request_is_400():
+    """Malformed payloads (missing keys, invalid JSON) must map to HTTP 400
+    with the error surfaced — not crash the handler thread or hang the
+    client."""
+    import urllib.error
+
+    from vae_posterior_consistency_tpu.engine.serve import make_http_server
+
+    srv, D = _server()
+    httpd = make_http_server(srv, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        for body in (b"{not json", json.dumps({"x": [[0.5] * D]}).encode()):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/impute", data=body,
+                headers={"Content-Type": "application/json"})
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                raise AssertionError("expected HTTP error")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # unknown path -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/nope", data=b"{}")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP error")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
