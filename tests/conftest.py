@@ -18,6 +18,17 @@ jax.config.update("jax_platforms", "cpu")
 # pin threefry so golden values stay bit-reproducible (production default is
 # 'rbg' — see RunConfig.rng_impl)
 jax.config.update("jax_default_prng_impl", "threefry2x32")
+# persistent compile cache: the suite is compile-dominated on this 1-vCPU
+# host (top tests spend ~80% of their time in XLA CPU compilation of the
+# same programs every run); cache entries are keyed on jax version +
+# backend + HLO, so staleness self-invalidates. Override via
+# VPC_TEST_COMPILE_CACHE=
+import os as _os  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _os.environ.get("VPC_TEST_COMPILE_CACHE", "/tmp/vpc_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
