@@ -35,6 +35,7 @@ from vae_posterior_consistency_tpu.config import (
     iter_jsonl_configs,
     maybe_profile,
     resolve_mesh,
+    parse_alphas,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -55,9 +56,11 @@ def main():
 
 
 def _run_grid(records):
+    probe = setup_parser(records[0], "impute_eval").parse_args()
+    alphas = parse_alphas(probe, ALPHA_SWEEP)
     for record in records:
         for missing in MISSING_SWEEP:
-            for alpha in ALPHA_SWEEP:
+            for alpha in alphas:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)
                 apply_rng_impl(cfg)

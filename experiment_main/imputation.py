@@ -33,6 +33,7 @@ from vae_posterior_consistency_tpu.config import (
     apply_rng_impl,
     iter_jsonl_configs,
     maybe_profile,
+    parse_alphas,
     resolve_mesh,
     setup_parser,
 )
@@ -87,6 +88,61 @@ def _train_and_eval_one(dataset, cfg, mesh):
     train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch))
     print(f"=== eval {cfg.vae_type} ===")
     return eval_engine.eval_vae(dataset, cfg)
+
+
+def run_suite_alpha_ensembles(records, missing, alphas):
+    """`-ensemble true -alphas a,b,...`: each REG config's whole alpha sweep
+    trains as ONE vmapped replica program (parallel/sweep.train_alpha_ensemble
+    — replicas deliberately share the data/shuffle/mask streams, isolating
+    the effect of alpha; the reference's serial loop re-draws everything per
+    alpha, src/experiment_main/imputation.py:24). Vanilla configs ignore
+    alpha arithmetically, so they train ONCE at alphas[0]. Per-alpha
+    checkpoints/artifacts keep the reference naming (alpha is in the reg
+    families' mangled filenames). Replica rows dp-shard over `-mesh`."""
+    import time as _time
+
+    import jax as _jax
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    printed = False
+    for rec in records:
+        args = setup_parser(rec, "impute_eval").parse_args()
+        cfg = RunConfig.from_args(args, alpha=alphas[0],
+                                  p_missingness=missing)
+        apply_rng_impl(cfg)
+        mesh = resolve_mesh(cfg)
+        if not printed:
+            tag = f", mesh={dict(mesh.shape)}" if mesh is not None else ""
+            print("[alpha-ensemble mode] each config's alpha sweep runs as "
+                  f"one vmapped program{tag}; replicas share data/mask "
+                  "streams by design (isolates alpha)", flush=True)
+            printed = True
+        dataset = loaders.data_loader(cfg.data_path, cfg.vae_type,
+                                      cfg.missing_rate, cfg.batch_size,
+                                      cfg.data_type)
+        cfg_alphas = list(alphas) if cfg.info.regularized else alphas[:1]
+        note = "" if cfg.info.regularized else " (vanilla: alpha-free, once)"
+        print(f"=== alpha-ensemble train {cfg.vae_type} (missing={missing}, "
+              f"alphas={cfg_alphas}){note} ===", flush=True)
+        t0 = _time.perf_counter()
+        params_ens, hist = sweep.train_alpha_ensemble(
+            dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh)
+        _jax.block_until_ready(hist)
+        t_train = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        for i, a in enumerate(cfg_alphas):
+            cfg_a = cfg.replace(alpha=a)
+            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
+            checkpoint.save(p_i,
+                            checkpoint.checkpoint_path(cfg_a, "experiments"))
+            results = eval_engine.eval_vae(dataset, cfg_a, params=p_i)
+            for stage, metrics in results.items():
+                print(f"  alpha={a:g} [{stage}] " + "  ".join(
+                    f"{k}={v:.5f}" for k, v in metrics.items()))
+        print(f"  [timing] train {t_train:.1f}s  eval+save "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
 
 
 def run_suite_ensembles(records, missing, alpha):
@@ -223,8 +279,16 @@ def _run_grid(records, probe):
             print(f"[ensemble mode] -vae_type {probe.vae_type}: grid "
                   f"restricted to its record", flush=True)
             records = matching
+        alphas = parse_alphas(probe, ALPHA_SWEEP)
+        if len(alphas) > 1:
+            if max(1, int(getattr(probe, "seeds", 1))) > 1:
+                print("[warning] -alphas and -seeds don't compose; running "
+                      "the alpha sweep single-seed.", flush=True)
+            for missing in MISSING_SWEEP:
+                run_suite_alpha_ensembles(records, missing, alphas)
+            return
         for missing in MISSING_SWEEP:
-            for alpha in ALPHA_SWEEP:
+            for alpha in alphas:
                 run_suite_ensembles(records, missing, alpha)
         return
     if max(1, int(getattr(probe, "seeds", 1))) > 1:
@@ -232,9 +296,10 @@ def _run_grid(records, probe):
               "entry point; running the serial grid single-seed. Use "
               "-ensemble true -seeds N for the error-barred grid.",
               flush=True)
+    alphas = parse_alphas(probe, ALPHA_SWEEP)
     for record in records:
         for missing in MISSING_SWEEP:
-            for alpha in ALPHA_SWEEP:
+            for alpha in alphas:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)
                 apply_rng_impl(cfg)

@@ -505,3 +505,68 @@ def test_eval_vae_ensemble_mixed_none_split_raises(tiny_dataset):
     none_test = [dataclasses.replace(d, test=None) for d in datasets]
     res = ev.eval_vae_ensemble(none_test, cfgs, params_ens, save=False)
     assert all(set(r) == {"train"} for r in res)
+
+
+def test_alpha_ensemble_mesh_padding_matches_unsharded(tiny_dataset):
+    """`-alphas` x `-mesh`: 3 alpha replicas padded onto dp=4 (repeat-last
+    padding, rows sliced off) must train bitwise like the unsharded
+    3-replica run — same scheme as train_split_ensemble's padding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=8,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    alphas = [0.0, 1.0, 5.0]
+    p_ref, h_ref = train_alpha_ensemble(ds, cfg, alphas, chunk_epochs=8)
+    mesh = meshlib.make_mesh(jax.devices()[:8])  # dp=4: pads 3 -> 4 rows
+    p_mesh, h_mesh = train_alpha_ensemble(ds, cfg, alphas, chunk_epochs=8,
+                                          mesh=mesh)
+    assert h_mesh.shape == (3, 8)
+    np.testing.assert_allclose(np.asarray(h_mesh), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_cli_alpha_ensemble(tiny_dataset, tmp_path):
+    """`imputation.py -ensemble true -alphas 0.5,2`: each reg config's alpha
+    sweep trains as one vmapped program with per-alpha reference-named
+    checkpoints; vanilla configs (alpha-free losses) train once."""
+    import os
+    import subprocess
+
+    from tests.cli_harness import cli_env, entry, grid_record, make_sandbox
+
+    base = dict(data_type="synth_small", epoch=4, batch_size=16, M=1,
+                train_k=2, valid_k=3, latent_dim=4, missing_rate=30,
+                hid_dim=32)
+    make_sandbox(tmp_path, tiny_dataset, [
+        grid_record(vae_type="reg_vae1", **base),
+        grid_record(vae_type="vanilla_vae1", **base),
+    ])
+    out = subprocess.run(
+        ["python3", entry("imputation.py"), "-ensemble", "true",
+         "-alphas", "0.5,2"],
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "alpha-ensemble train reg_vae1" in out.stdout
+    assert "(vanilla: alpha-free, once)" in out.stdout
+    assert "alpha=0.5 [test]" in out.stdout and "alpha=2 [test]" in out.stdout
+
+    ck = (tmp_path / "experiments" / "UCI_experiments_consistency_missingness"
+          / "synth_small" / "checkpoints")
+    for a in ("0.5", "2.0"):
+        p = (ck / "reg_vae"
+             / f"checkpoint_reg_vae1_{a}_30_kl_reg_30_missing_rate_full_reg_test.pt")
+        assert p.exists(), p
+    assert (ck / "vanilla_vae"
+            / "checkpoint_vanilla_vae1_30_missing_rate_test.pt").exists()

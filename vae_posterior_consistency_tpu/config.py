@@ -76,6 +76,17 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
                  "-ensemble true; active_learning.py/ais_eval.py load the "
                  ".seed{s} checkpoints those runs wrote)",
         )
+    if "alphas" not in arguments:
+        # regularization-strength sweep: overrides the entry points'
+        # hard-coded ALPHA_SWEEP (the reference hard-codes `for alpha in
+        # [1.0]`, src/experiment_main/imputation.py:24). On imputation.py
+        # with -ensemble true, all alphas of a config train as ONE vmapped
+        # replica program (parallel/sweep.train_alpha_ensemble).
+        parser.add_argument(
+            "-alphas", type=str, default="",
+            help="comma-separated regularization strengths to sweep "
+                 "(e.g. '0.5,1,2'); empty = the entry's default sweep",
+        )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with
         # TensorBoard/Perfetto; utils/logging.profile_trace)
@@ -327,3 +338,18 @@ def apply_rng_impl(cfg: "RunConfig") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax without the persistent cache
+
+
+def parse_alphas(args, default):
+    """Resolve the `-alphas` flag into a list of floats (the entry's
+    hard-coded sweep when unset). Rejects empties/garbage loudly."""
+    spec = (getattr(args, "alphas", "") or "").strip()
+    if not spec:
+        return list(default)
+    try:
+        alphas = [float(tok) for tok in spec.split(",") if tok.strip()]
+    except ValueError:
+        raise SystemExit(f"-alphas {spec!r}: expected comma-separated floats")
+    if not alphas:
+        raise SystemExit(f"-alphas {spec!r}: no values")
+    return alphas

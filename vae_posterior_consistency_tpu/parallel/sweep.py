@@ -333,32 +333,43 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
-                         chunk_epochs: int = 200, seed: int = 0):
+                         chunk_epochs: int = 200, seed: int = 0, mesh=None):
     """Train the reference's alpha sweep axis (serial Python loop at
     src/experiment_main/imputation.py:24) as ONE batched program: a replica
-    per regularization strength.
+    per regularization strength. CLI surface: `imputation.py -ensemble true
+    -alphas a,b,c`.
 
     alpha enters every family's composite loss purely arithmetically
     (e.g. models/gauss.py:177), so a traced per-replica scalar substitutes
     into cfg via cfg.replace. All replicas share the data, shuffling, and
     mask streams — isolating the effect of alpha, which is what the sweep
-    studies. Returns (ensemble_params, loss_history [n_alphas, epochs]).
-    """
+    studies. With `mesh`, replica rows shard over dp (padded by repeating
+    the last alpha; padded rows are sliced off here — same scheme as
+    train_split_ensemble). Returns (ensemble_params,
+    loss_history [n_alphas, epochs])."""
     model = get_model(cfg)
-    alphas = jnp.asarray(alphas, jnp.float32)
+    alphas = list(alphas)
     S = len(alphas)
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        alphas = alphas + [alphas[-1]] * ((-S) % dp)
+    alphas_v = jnp.asarray(alphas, jnp.float32)
+    S_run = len(alphas)
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
-        jax.random.PRNGKey(seed), jnp.arange(S))
+        jax.random.PRNGKey(seed), jnp.arange(S_run))
     Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
                                         init_keys)
     cfg_seeded = cfg.replace(seed=seed)
     run_chunk = _make_ensemble_chunk(
         cfg_seeded, model, unravel, dataset.train.x, dataset.train.mask,
-        mode="alpha", S=S, alphas=alphas)
+        mode="alpha", S=S_run, alphas=alphas_v)
     tx = optax.adam(LEARNING_RATE)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, tx.init(Pmat), cfg.epoch,
+    opt_state = tx.init(Pmat)
+    if mesh is not None:
+        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
-    return jax.vmap(unravel)(Pmat), hist
+    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
 
 
 def ensemble_replica(params, i):
