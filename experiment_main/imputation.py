@@ -90,7 +90,7 @@ def _train_and_eval_one(dataset, cfg, mesh):
     return eval_engine.eval_vae(dataset, cfg)
 
 
-def run_suite_alpha_ensembles(records, missing, alphas):
+def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
     """`-ensemble true -alphas a,b,...`: each REG config's whole alpha sweep
     trains as ONE vmapped replica program (parallel/sweep.train_alpha_ensemble
     — replicas deliberately share the data/shuffle/mask streams, isolating
@@ -124,23 +124,47 @@ def run_suite_alpha_ensembles(records, missing, alphas):
                                       cfg.data_type)
         cfg_alphas = list(alphas) if cfg.info.regularized else alphas[:1]
         note = "" if cfg.info.regularized else " (vanilla: alpha-free, once)"
+        seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
         print(f"=== alpha-ensemble train {cfg.vae_type} (missing={missing}, "
-              f"alphas={cfg_alphas}){note} ===", flush=True)
+              f"alphas={cfg_alphas}{seed_tag}){note} ===", flush=True)
         t0 = _time.perf_counter()
-        params_ens, hist = sweep.train_alpha_ensemble(
-            dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh)
+        if n_seeds > 1:
+            # paired error bars: [A * n_seeds] rows in ONE program; rows of
+            # one seed share init/streams across alphas
+            # (sweep.train_alpha_seed_ensemble)
+            seeds = [cfg.seed + si for si in range(n_seeds)]
+            params_ens, hist = sweep.train_alpha_seed_ensemble(
+                dataset, cfg, cfg_alphas, seeds, mesh=mesh)
+        else:
+            params_ens, hist = sweep.train_alpha_ensemble(
+                dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh)
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         for i, a in enumerate(cfg_alphas):
             cfg_a = cfg.replace(alpha=a)
-            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, i))
-            checkpoint.save(p_i,
-                            checkpoint.checkpoint_path(cfg_a, "experiments"))
-            results = eval_engine.eval_vae(dataset, cfg_a, params=p_i)
-            for stage, metrics in results.items():
-                print(f"  alpha={a:g} [{stage}] " + "  ".join(
-                    f"{k}={v:.5f}" for k, v in metrics.items()))
+            per_seed = []
+            for si in range(n_seeds):
+                row = i * n_seeds + si if n_seeds > 1 else i
+                p_r = _jax.device_get(sweep.ensemble_replica(params_ens, row))
+                checkpoint.save(
+                    p_r, checkpoint.checkpoint_path(cfg_a, "experiments")
+                    + checkpoint.seed_suffix(si))
+                per_seed.append(eval_engine.eval_vae(dataset, cfg_a,
+                                                     params=p_r,
+                                                     save=si == 0))
+            for stage in per_seed[0]:
+                line = []
+                for k in per_seed[0][stage]:
+                    vals = [ps[stage][k] for ps in per_seed]
+                    mu = sum(vals) / len(vals)
+                    if n_seeds > 1:
+                        sd = (sum((v - mu) ** 2 for v in vals)
+                              / len(vals)) ** 0.5
+                        line.append(f"{k}={mu:.5f}±{sd:.5f}")
+                    else:
+                        line.append(f"{k}={mu:.5f}")
+                print(f"  alpha={a:g} [{stage}] " + "  ".join(line))
         print(f"  [timing] train {t_train:.1f}s  eval+save "
               f"{_time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -281,11 +305,10 @@ def _run_grid(records, probe):
             records = matching
         alphas = parse_alphas(probe, ALPHA_SWEEP)
         if len(alphas) > 1:
-            if max(1, int(getattr(probe, "seeds", 1))) > 1:
-                print("[warning] -alphas and -seeds don't compose; running "
-                      "the alpha sweep single-seed.", flush=True)
+            n_seeds = max(1, int(getattr(probe, "seeds", 1)))
             for missing in MISSING_SWEEP:
-                run_suite_alpha_ensembles(records, missing, alphas)
+                run_suite_alpha_ensembles(records, missing, alphas,
+                                          n_seeds=n_seeds)
             return
         for missing in MISSING_SWEEP:
             for alpha in alphas:

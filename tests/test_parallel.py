@@ -570,3 +570,46 @@ def test_cli_alpha_ensemble(tiny_dataset, tmp_path):
         assert p.exists(), p
     assert (ck / "vanilla_vae"
             / "checkpoint_vanilla_vae1_30_missing_rate_test.pt").exists()
+
+
+def test_alpha_seed_ensemble_reduces_to_seed_ensemble(tiny_dataset):
+    """The `-alphas` x `-seeds` composition at a single alpha must reproduce
+    train_seed_ensemble BITWISE: rows reuse mode='seed' streams keyed by the
+    row's seed, and alpha only substitutes into the traced loss."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_seed_ensemble,
+        train_seed_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=8,
+                    batch_size=16, p_missingness=30, latent_dim=4, alpha=1.0)
+    seeds = [0, 7]
+    p_ref, h_ref = train_seed_ensemble(ds, cfg, seeds, chunk_epochs=8)
+    p_as, h_as = train_alpha_seed_ensemble(ds, cfg, [cfg.alpha], seeds,
+                                           chunk_epochs=8)
+    np.testing.assert_array_equal(np.asarray(h_as), np.asarray(h_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(p_as),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_alpha_seed_ensemble_paired_rows(tiny_dataset):
+    """Within one seed, rows across alphas share init+streams (paired
+    comparison): the alpha=0 rows of two different seeds must differ, while
+    a row's result is alpha-sensitive within the same seed."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_seed_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=10,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    params, hist = train_alpha_seed_ensemble(ds, cfg, [0.0, 5.0], [0, 7],
+                                             chunk_epochs=10)
+    assert hist.shape == (4, 10)  # rows: (a0,s0),(a0,s7),(a5,s0),(a5,s7)
+    assert np.all(np.isfinite(hist))
+    assert abs(hist[0, -1] - hist[1, -1]) > 1e-4  # seeds differ at fixed a
+    assert abs(hist[0, -1] - hist[2, -1]) > 1e-4  # alphas differ at fixed s

@@ -372,6 +372,43 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     return jax.vmap(unravel)(Pmat[:S]), hist[:S]
 
 
+def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
+                              chunk_epochs: int = 200, mesh=None):
+    """Error-barred alpha sweep: the [n_alphas * n_seeds] replica rows hold
+    (alpha a, seed s) at row a * n_seeds + i, trained as ONE program — the
+    `-alphas` x `-seeds` CLI composition.
+
+    PAIRED design: rows reuse mode='seed' streams keyed by the row's seed,
+    so the rows of one seed share init + shuffle + mask draws across all
+    alphas (alpha is the ONLY difference within a seed — a paired
+    comparison), while different seeds are fully independent replications.
+    alphas=[cfg.alpha] therefore reproduces train_seed_ensemble bitwise
+    (pinned by tests/test_parallel.py). With `mesh`, rows dp-shard (padded
+    by repeating the last row; sliced off here). Returns
+    (params_ens [A*S, ...], loss_history [A*S, epochs])."""
+    model = get_model(cfg)
+    rows = [(float(a), int(sd)) for a in alphas for sd in seeds]
+    R = len(rows)
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        rows = rows + [rows[-1]] * ((-R) % dp)
+    row_alphas = jnp.asarray([a for a, _ in rows], jnp.float32)
+    row_seeds = jnp.asarray([sd for _, sd in rows], jnp.uint32)
+    init_keys = jax.vmap(jax.random.PRNGKey)(row_seeds)
+    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
+                                        init_keys)
+    run_chunk = _make_ensemble_chunk(
+        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        mode="seed", S=len(rows), seeds=row_seeds, alphas=row_alphas)
+    tx = optax.adam(LEARNING_RATE)
+    opt_state = tx.init(Pmat)
+    if mesh is not None:
+        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
+                              chunk_epochs)
+    return jax.vmap(unravel)(Pmat[:R]), hist[:R]
+
+
 def ensemble_replica(params, i):
     """Extract replica i's parameter pytree from a vmapped ensemble."""
     return jax.tree_util.tree_map(lambda leaf: leaf[i], params)
