@@ -613,3 +613,32 @@ def test_alpha_seed_ensemble_paired_rows(tiny_dataset):
     assert np.all(np.isfinite(hist))
     assert abs(hist[0, -1] - hist[1, -1]) > 1e-4  # seeds differ at fixed a
     assert abs(hist[0, -1] - hist[2, -1]) > 1e-4  # alphas differ at fixed s
+
+
+def test_alpha_seed_ensemble_mesh_matches_unsharded(tiny_dataset):
+    """`-alphas` x `-seeds` x `-mesh`: [2x3]=6 rows padded onto dp=4 (to 8)
+    must train bitwise like the unsharded composed run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_seed_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=6,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    p_ref, h_ref = train_alpha_seed_ensemble(ds, cfg, [0.5, 2.0], [0, 3, 7],
+                                             chunk_epochs=6)
+    mesh = meshlib.make_mesh(jax.devices()[:8])  # dp=4: pads 6 -> 8 rows
+    p_mesh, h_mesh = train_alpha_seed_ensemble(ds, cfg, [0.5, 2.0],
+                                               [0, 3, 7], chunk_epochs=6,
+                                               mesh=mesh)
+    assert h_mesh.shape == (6, 6)
+    np.testing.assert_allclose(np.asarray(h_mesh), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
