@@ -34,6 +34,7 @@ from vae_posterior_consistency_tpu.config import (
     iter_jsonl_configs,
     maybe_profile,
     parse_alphas,
+    parse_missings,
     resolve_mesh,
     setup_parser,
 )
@@ -165,6 +166,96 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
                     else:
                         line.append(f"{k}={mu:.5f}")
                 print(f"  alpha={a:g} [{stage}] " + "  ".join(line))
+        print(f"  [timing] train {t_train:.1f}s  eval+save "
+              f"{_time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
+    """`-ensemble true -missings m1,m2[,...]`: each config's full
+    (missing-rate x alpha x seed) product trains as ONE vmapped replica
+    program (parallel/sweep.train_sweep_ensemble — the reference's two
+    outer serial loops, src/experiment_main/imputation.py:23-24). Vanilla
+    training is arithmetically free of BOTH knobs (ops/masks.train_masks
+    ignores p_missingness off the reg branch), so vanilla configs train
+    once per seed and re-evaluate per missing rate (eval's mask_p draw
+    depends on the rate — e.g. miwae.eval_step — and the reference names
+    artifacts per (alpha, missing)). Replica rows dp-shard over `-mesh`."""
+    import time as _time
+
+    import jax as _jax
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    printed = False
+    for rec in records:
+        args = setup_parser(rec, "impute_eval").parse_args()
+        cfg = RunConfig.from_args(args, alpha=alphas[0],
+                                  p_missingness=missings[0])
+        apply_rng_impl(cfg)
+        mesh = resolve_mesh(cfg)
+        if not printed:
+            tag = f", mesh={dict(mesh.shape)}" if mesh is not None else ""
+            print("[sweep-ensemble mode] each config's (missing x alpha"
+                  " x seed) product runs as one vmapped program"
+                  f"{tag}; rows share data/shuffle streams by design "
+                  "(pairs the swept knobs)", flush=True)
+            printed = True
+        dataset = loaders.data_loader(cfg.data_path, cfg.vae_type,
+                                      cfg.missing_rate, cfg.batch_size,
+                                      cfg.data_type)
+        reg = cfg.info.regularized
+        cfg_alphas = list(alphas) if reg else alphas[:1]
+        cfg_miss = list(missings) if reg else missings[:1]
+        note = "" if reg else " (vanilla: rate/alpha-free training, once)"
+        seeds = ([cfg.seed + si for si in range(n_seeds)]
+                 if n_seeds > 1 else None)
+        seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
+        print(f"=== sweep-ensemble train {cfg.vae_type} "
+              f"(missings={cfg_miss}, alphas={cfg_alphas}{seed_tag})"
+              f"{note} ===", flush=True)
+        t0 = _time.perf_counter()
+        params_ens, hist, rows = sweep.train_sweep_ensemble(
+            dataset, cfg, missings=cfg_miss, alphas=cfg_alphas, seeds=seeds,
+            mesh=mesh)
+        _jax.block_until_ready(hist)
+        t_train = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        # group the rows by (missing, alpha); seeds inside a group give
+        # error bars. Vanilla: the single trained row (per seed) is
+        # re-evaluated at every requested rate (training is rate-free).
+        for mi, m in enumerate(missings):
+            for a in cfg_alphas:
+                m_trained = m if reg else cfg_miss[0]
+                row_ids = [ri for ri, (rm, ra, _) in enumerate(rows)
+                           if rm == m_trained and ra == a]
+                cfg_ma = cfg.replace(alpha=a, p_missingness=m)
+                per_seed = []
+                for si, ri in enumerate(row_ids):
+                    p_r = _jax.device_get(
+                        sweep.ensemble_replica(params_ens, ri))
+                    if reg or mi == 0:
+                        # one checkpoint per trained row (vanilla names
+                        # don't carry p_missingness — saving once suffices)
+                        checkpoint.save(
+                            p_r,
+                            checkpoint.checkpoint_path(cfg_ma, "experiments")
+                            + checkpoint.seed_suffix(si))
+                    per_seed.append(eval_engine.eval_vae(
+                        dataset, cfg_ma, params=p_r, save=si == 0))
+                for stage in per_seed[0]:
+                    line = []
+                    for k in per_seed[0][stage]:
+                        vals = [ps[stage][k] for ps in per_seed]
+                        mu = sum(vals) / len(vals)
+                        if n_seeds > 1:
+                            sd = (sum((v - mu) ** 2 for v in vals)
+                                  / len(vals)) ** 0.5
+                            line.append(f"{k}={mu:.5f}±{sd:.5f}")
+                        else:
+                            line.append(f"{k}={mu:.5f}")
+                    print(f"  missing={m} alpha={a:g} [{stage}] "
+                          + "  ".join(line))
         print(f"  [timing] train {t_train:.1f}s  eval+save "
               f"{_time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -304,13 +395,20 @@ def _run_grid(records, probe):
                   f"restricted to its record", flush=True)
             records = matching
         alphas = parse_alphas(probe, ALPHA_SWEEP)
+        missings = parse_missings(probe, MISSING_SWEEP)
+        n_seeds = max(1, int(getattr(probe, "seeds", 1)))
+        if len(missings) > 1:
+            # the whole (missing x alpha x seed) product as one program
+            # per config record
+            run_suite_sweep_ensembles(records, missings, alphas,
+                                      n_seeds=n_seeds)
+            return
         if len(alphas) > 1:
-            n_seeds = max(1, int(getattr(probe, "seeds", 1)))
-            for missing in MISSING_SWEEP:
+            for missing in missings:
                 run_suite_alpha_ensembles(records, missing, alphas,
                                           n_seeds=n_seeds)
             return
-        for missing in MISSING_SWEEP:
+        for missing in missings:
             for alpha in alphas:
                 run_suite_ensembles(records, missing, alpha)
         return
@@ -320,8 +418,9 @@ def _run_grid(records, probe):
               "-ensemble true -seeds N for the error-barred grid.",
               flush=True)
     alphas = parse_alphas(probe, ALPHA_SWEEP)
+    missings = parse_missings(probe, MISSING_SWEEP)
     for record in records:
-        for missing in MISSING_SWEEP:
+        for missing in missings:
             for alpha in alphas:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(args, alpha=alpha, p_missingness=missing)

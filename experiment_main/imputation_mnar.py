@@ -34,6 +34,7 @@ from vae_posterior_consistency_tpu.config import (
     maybe_profile,
     resolve_mesh,
     parse_alphas,
+    parse_missings,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -64,8 +65,9 @@ def main():
 def _run_grid(records):
     probe = setup_parser(records[0], "impute_eval").parse_args()
     alphas = parse_alphas(probe, ALPHA_SWEEP)
+    missings = parse_missings(probe, MISSING_SWEEP)
     for record in records:
-        for missing in MISSING_SWEEP:
+        for missing in missings:
             for alpha in alphas:
                 args = setup_parser(record, "impute_eval").parse_args()
                 cfg = RunConfig.from_args(

@@ -642,3 +642,145 @@ def test_alpha_seed_ensemble_mesh_matches_unsharded(tiny_dataset):
                     jax.tree_util.tree_leaves(p_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_sweep_ensemble_missing_axis(tiny_dataset):
+    """`-missings`: the p_missingness axis trains as one vmapped program;
+    the rate enters the traced mask_p draw only (reference's outer serial
+    loop: imputation.py:23)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_sweep_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=20,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    params, hist, rows = train_sweep_ensemble(ds, cfg, missings=[10, 60],
+                                              alphas=[1.0], chunk_epochs=10)
+    assert rows == [(10, 1.0, None), (60, 1.0, None)]
+    assert hist.shape == (2, 20)
+    assert np.all(np.isfinite(hist))
+    # the two rates must actually train differently
+    assert abs(hist[0, -1] - hist[1, -1]) > 1e-4
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(leaf.shape[0] == 2 for leaf in leaves)
+
+
+def test_sweep_ensemble_singleton_missing_delegates_bitwise(tiny_dataset):
+    """A singleton `missings` must reproduce the pinned alpha/seed ensembles
+    BITWISE (delegation, not a parallel reimplementation)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_alpha_ensemble,
+        train_alpha_seed_ensemble,
+        train_sweep_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=8,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    p_sw, h_sw, rows = train_sweep_ensemble(ds, cfg, missings=[30],
+                                            alphas=[0.0, 5.0],
+                                            chunk_epochs=8)
+    p_a, h_a = train_alpha_ensemble(ds, cfg, [0.0, 5.0], chunk_epochs=8)
+    assert rows == [(30, 0.0, None), (30, 5.0, None)]
+    np.testing.assert_array_equal(np.asarray(h_sw), np.asarray(h_a))
+    for a, b in zip(jax.tree_util.tree_leaves(p_sw),
+                    jax.tree_util.tree_leaves(p_a)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    p_sw, h_sw, rows = train_sweep_ensemble(ds, cfg, missings=[30],
+                                            alphas=[1.0], seeds=[0, 7],
+                                            chunk_epochs=8)
+    p_s, h_s = train_alpha_seed_ensemble(ds, cfg, [1.0], [0, 7],
+                                         chunk_epochs=8)
+    assert rows == [(30, 1.0, 0), (30, 1.0, 7)]
+    np.testing.assert_array_equal(np.asarray(h_sw), np.asarray(h_s))
+
+
+def test_sweep_ensemble_missing_seed_product(tiny_dataset):
+    """missings x seeds: rows of one seed share init+streams across rates
+    (paired), different seeds replicate independently."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_sweep_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=10,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    params, hist, rows = train_sweep_ensemble(ds, cfg, missings=[10, 60],
+                                              alphas=[1.0], seeds=[0, 7],
+                                              chunk_epochs=10)
+    assert rows == [(10, 1.0, 0), (10, 1.0, 7), (60, 1.0, 0), (60, 1.0, 7)]
+    assert hist.shape == (4, 10)
+    assert np.all(np.isfinite(hist))
+    assert abs(hist[0, -1] - hist[2, -1]) > 1e-5  # rate differs at fixed seed
+    assert abs(hist[0, -1] - hist[1, -1]) > 1e-5  # seed differs at fixed rate
+
+
+def test_sweep_ensemble_mesh_matches_unsharded(tiny_dataset):
+    """`-missings` x `-mesh`: [2x3]=6 rows padded onto dp=4 (to 8) must train
+    like the unsharded run (same tolerance as the other ensemble axes)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import mesh as meshlib
+    from vae_posterior_consistency_tpu.parallel.sweep import (
+        train_sweep_ensemble,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=6,
+                    batch_size=16, p_missingness=30, latent_dim=4)
+    p_ref, h_ref, rows = train_sweep_ensemble(
+        ds, cfg, missings=[10, 30, 60], alphas=[0.5, 2.0], chunk_epochs=6)
+    mesh = meshlib.make_mesh(jax.devices()[:8])  # dp=4: pads 6 -> 8 rows
+    p_mesh, h_mesh, rows_m = train_sweep_ensemble(
+        ds, cfg, missings=[10, 30, 60], alphas=[0.5, 2.0], chunk_epochs=6,
+        mesh=mesh)
+    assert rows_m == rows and h_mesh.shape == (6, 6)
+    np.testing.assert_allclose(np.asarray(h_mesh), np.asarray(h_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_mesh),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_cli_missings_sweep_ensemble(tiny_dataset, tmp_path):
+    """`imputation.py -ensemble true -missings 10,50`: each reg config's
+    missing-rate sweep trains as one vmapped program with per-rate
+    reference-named checkpoints; vanilla configs (rate-free training) train
+    once and re-evaluate per rate."""
+    import subprocess
+
+    from tests.cli_harness import cli_env, entry, grid_record, make_sandbox
+
+    base = dict(data_type="synth_small", epoch=4, batch_size=16, M=1,
+                train_k=2, valid_k=3, latent_dim=4, missing_rate=30,
+                hid_dim=32)
+    make_sandbox(tmp_path, tiny_dataset, [
+        grid_record(vae_type="reg_vae1", **base),
+        grid_record(vae_type="vanilla_vae1", **base),
+    ])
+    out = subprocess.run(
+        ["python3", entry("imputation.py"), "-ensemble", "true",
+         "-missings", "10,50"],
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "sweep-ensemble train reg_vae1" in out.stdout
+    assert "(vanilla: rate/alpha-free training, once)" in out.stdout
+    assert "missing=10 alpha=1 [test]" in out.stdout
+    assert "missing=50 alpha=1 [test]" in out.stdout
+
+    ck = (tmp_path / "experiments" / "UCI_experiments_consistency_missingness"
+          / "synth_small" / "checkpoints")
+    for m in ("10", "50"):
+        p = (ck / "reg_vae"
+             / f"checkpoint_reg_vae1_1.0_{m}_kl_reg_30_missing_rate_full_reg_test.pt")
+        assert p.exists(), p
+    assert (ck / "vanilla_vae"
+            / "checkpoint_vanilla_vae1_30_missing_rate_test.pt").exists()

@@ -87,6 +87,18 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             help="comma-separated regularization strengths to sweep "
                  "(e.g. '0.5,1,2'); empty = the entry's default sweep",
         )
+    if "missings" not in arguments:
+        # p_missingness sweep: overrides the entry points' hard-coded
+        # MISSING_SWEEP (the reference hard-codes `for missing in [30]`,
+        # src/experiment_main/imputation.py:23). On imputation.py with
+        # -ensemble true, all rates of a config train as ONE vmapped
+        # replica program (parallel/sweep.train_sweep_ensemble), composing
+        # with -alphas/-seeds/-mesh.
+        parser.add_argument(
+            "-missings", type=str, default="",
+            help="comma-separated p_missingness rates to sweep "
+                 "(e.g. '10,30,50'); empty = the entry's default sweep",
+        )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with
         # TensorBoard/Perfetto; utils/logging.profile_trace)
@@ -353,3 +365,21 @@ def parse_alphas(args, default):
     if not alphas:
         raise SystemExit(f"-alphas {spec!r}: no values")
     return alphas
+
+
+def parse_missings(args, default):
+    """Resolve the `-missings` flag into a list of ints (the entry's
+    hard-coded p_missingness sweep when unset). Integer percentages, matching
+    the reference's `for missing in [30]` loop and the int-typed
+    p_missingness baked into every artifact/checkpoint filename
+    (reference: src/experiment_main/imputation.py:23)."""
+    spec = (getattr(args, "missings", "") or "").strip()
+    if not spec:
+        return list(default)
+    try:
+        vals = [int(tok) for tok in spec.split(",") if tok.strip()]
+    except ValueError:
+        raise SystemExit(f"-missings {spec!r}: expected comma-separated ints")
+    if not vals:
+        raise SystemExit(f"-missings {spec!r}: no values")
+    return vals

@@ -57,12 +57,17 @@ def _flat_ensemble_init(model, cfg, obs_dim, init_keys):
 
 
 def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
-                         mode: str, S: int, seeds=None, alphas=None):
+                         mode: str, S: int, seeds=None, alphas=None,
+                         missings=None):
     """Compile the ensemble chunk runner.
 
     data/mask: [S, n, D] stacked per-replica tables when mode == 'split',
-    else one shared [n, D] table. Returns run_chunk(Pmat [S,P], opt_state,
-    epoch0, n_epochs) -> (Pmat, opt_state, hist [n_epochs, S]).
+    else one shared [n, D] table. `missings`: optional [S] per-replica
+    p_missingness rates — the rate enters only the mask_p draw
+    (ops/masks.train_masks -> sub_mask), so a traced per-replica scalar
+    substitutes via cfg.replace exactly like alpha in the traced loss.
+    Returns run_chunk(Pmat [S,P], opt_state, epoch0, n_epochs) ->
+    (Pmat, opt_state, hist [n_epochs, S]).
     """
     info = cfg.info
     tx = optax.adam(LEARNING_RATE)
@@ -73,6 +78,7 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
     steps = math.ceil(n / bsz)
     pad = steps * bsz - n
     use_alpha = alphas is not None
+    use_miss = missings is not None
     shared_streams = mode == "alpha"
 
     def replica_loss(pf, x_b, m_b, mp_b, k_model, epoch, alpha):
@@ -81,9 +87,12 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
                                 c)[0]
 
     # vmap in_axes: batch/mask/keys are per-replica except in alpha mode,
-    # where replicas deliberately share every stream but alpha itself
+    # where replicas deliberately share every stream but alpha itself —
+    # unless the missing-rate axis is swept, which makes the masks (but
+    # still not the data/keys) per-replica
     ax = 0 if not shared_streams else None
-    loss_axes = (0, ax, ax, ax, ax, None, 0 if use_alpha else None)
+    mask_ax = 0 if (not shared_streams or use_miss) else None
+    loss_axes = (0, ax, mask_ax, mask_ax, ax, None, 0 if use_alpha else None)
 
     def total_loss(Pmat, x_b, m_b, mp_b, k_models, epoch, alpha_v):
         per = jax.vmap(replica_loss, loss_axes)(Pmat, x_b, m_b, mp_b,
@@ -92,10 +101,12 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
 
     grad_fn = jax.value_and_grad(total_loss, has_aux=True)
 
-    def make_masks(k_mask, m_b):
+    def make_masks(k_mask, m_b, p):
         """(eff_mask, mask_p) for one replica's batch — the serial step's
-        dispatch, shared via ops/masks.train_masks."""
-        return masks_ops.train_masks(info, cfg, k_mask, m_b)
+        dispatch, shared via ops/masks.train_masks. `p` is the replica's
+        (traced) p_missingness when the missing axis is swept, else None."""
+        c = cfg.replace(p_missingness=p) if use_miss else cfg
+        return masks_ops.train_masks(info, c, k_mask, m_b)
 
     @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
     def run_chunk(Pmat, opt_state, epoch0, n_epochs):
@@ -159,10 +170,19 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
                 m_b = slice_rows(m_epoch)
                 if shared_streams:
                     k_mask, k_model = kp[0], kp[1]
-                    eff_m, mask_p = make_masks(k_mask, m_b)
+                    if use_miss:
+                        # shared key, per-replica rate: the rows' mask_p
+                        # draws NEST (same uniform, different threshold) —
+                        # the tightest possible pairing across rates
+                        eff_m, mask_p = jax.vmap(make_masks, (None, None, 0))(
+                            k_mask, m_b, missings)
+                    else:
+                        eff_m, mask_p = make_masks(k_mask, m_b, None)
                 else:  # seed/split: per-replica streams
                     k_mask, k_model = kp[:, 0], kp[:, 1]        # [S, 2] each
-                    eff_m, mask_p = jax.vmap(make_masks)(k_mask, m_b)
+                    eff_m, mask_p = jax.vmap(make_masks, (0, 0, 0 if use_miss
+                                                          else None))(
+                        k_mask, m_b, missings)
                 (tot, per), grads = grad_fn(Pmat, x_b, eff_m, mask_p,
                                             k_model, epoch, alphas)
                 updates, opt_state = tx.update(grads, opt_state, Pmat)
@@ -407,6 +427,85 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
                               chunk_epochs)
     return jax.vmap(unravel)(Pmat[:R]), hist[:R]
+
+
+def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
+                         seeds=None, chunk_epochs: int = 200, mesh=None):
+    """Train the reference's FULL serial sweep product — missing-rate x
+    alpha x seed (the two outer serial loops at
+    src/experiment_main/imputation.py:23-24, replicated over seeds) — as ONE
+    batched program of R = len(missings) * len(alphas) * len(seeds) rows.
+
+    Row order is missing-major: row (mi * A + ai) * S + si holds
+    (missings[mi], alphas[ai], seeds[si]). Returns (params_ens, hist, rows)
+    with `rows` the [(missing, alpha, seed-or-None)] labels in row order
+    (padding rows already sliced off).
+
+    Semantics:
+    - p_missingness enters training only through the mask_p draw
+      (ops/masks.train_masks -> sub_mask -> mcar_mask, which accepts a
+      traced rate), so a per-row scalar substitutes via cfg.replace exactly
+      like alpha in the traced loss.
+    - seeds=None: all rows share data/shuffle/mask key streams
+      (mode='alpha' pairing); with the key shared, the mask_p draws of two
+      rates NEST (same uniform draw, different threshold) — the tightest
+      possible pairing across the swept knobs.
+    - seeds given: the rows of one seed share init + streams across the
+      whole (missing, alpha) grid (paired comparison) while different seeds
+      are independent replications — mode='seed', the
+      train_alpha_seed_ensemble scheme.
+    - a singleton `missings` delegates to the pinned alpha/seed ensembles,
+      reproducing them bitwise (tests/test_parallel.py).
+    With `mesh`, rows dp-shard over the mesh (padded by repeating the last
+    row; sliced off here)."""
+    missings = [int(m) for m in
+                (missings if missings is not None else [cfg.p_missingness])]
+    alphas = [float(a) for a in
+              (alphas if alphas is not None else [cfg.alpha])]
+    rows = [(m, a, None if seeds is None else int(s))
+            for m in missings for a in alphas
+            for s in (seeds if seeds is not None else [None])]
+    if len(missings) == 1:
+        cfg1 = cfg.replace(p_missingness=missings[0])
+        if seeds is not None:
+            params, hist = train_alpha_seed_ensemble(
+                dataset, cfg1, alphas, seeds, chunk_epochs=chunk_epochs,
+                mesh=mesh)
+        else:
+            params, hist = train_alpha_ensemble(
+                dataset, cfg1, alphas, chunk_epochs=chunk_epochs,
+                seed=cfg.seed, mesh=mesh)
+        return params, hist, rows
+    model = get_model(cfg)
+    run_rows = list(rows)
+    R = len(rows)
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        run_rows = run_rows + [run_rows[-1]] * ((-R) % dp)
+    row_miss = jnp.asarray([m for m, _, _ in run_rows], jnp.float32)
+    row_alphas = jnp.asarray([a for _, a, _ in run_rows], jnp.float32)
+    if seeds is not None:
+        row_seeds = jnp.asarray([s for _, _, s in run_rows], jnp.uint32)
+        init_keys = jax.vmap(jax.random.PRNGKey)(row_seeds)
+        mode = "seed"
+    else:
+        row_seeds = None
+        init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(cfg.seed), jnp.arange(len(run_rows)))
+        mode = "alpha"
+    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
+                                        init_keys)
+    run_chunk = _make_ensemble_chunk(
+        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        mode=mode, S=len(run_rows), seeds=row_seeds, alphas=row_alphas,
+        missings=row_miss)
+    tx = optax.adam(LEARNING_RATE)
+    opt_state = tx.init(Pmat)
+    if mesh is not None:
+        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
+    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
+                              chunk_epochs)
+    return jax.vmap(unravel)(Pmat[:R]), hist[:R], rows
 
 
 def ensemble_replica(params, i):
