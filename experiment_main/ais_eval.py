@@ -100,11 +100,25 @@ def main():
                 per = " ".join(f"s{s}={v:.4f}"
                                for s, v in enumerate(res.logw))
                 print(f"  [{stage}] AIS log p(x) = {mu:.4f}±{sd:.4f}  {per}")
+            if getattr(args, "bdmc", False):
+                print("  [bdmc] skipped: -bdmc certifies one checkpoint's "
+                      "schedule; run it without -seeds")
             return
         results = ais.eval_ais(dataset, cfg, n_sample=cfg.n_ais_iwae,
                                mesh=mesh)
+        bdmc_res = None
+        if getattr(args, "bdmc", False):
+            # BDMC sandwich on simulated data: certifies the bridge the
+            # real-split estimates above just used (engine/ais.bdmc)
+            bdmc_res = ais.eval_bdmc(dataset, cfg, n_sample=cfg.n_ais_iwae,
+                                     mesh=mesh)
     for stage, res in results.items():
         print(f"  [{stage}] AIS log p(x) = {res.logw:.4f}")
+    if getattr(args, "bdmc", False) and bdmc_res is not None:
+        print(f"  [bdmc] sandwich on simulated data: "
+              f"lower={bdmc_res.lower:.4f} upper={bdmc_res.upper:.4f} "
+              f"gap={bdmc_res.gap:.4f} "
+              f"(schedule={cfg.ais_schedule}, T={cfg.n_ais_dist})")
 
 
 if __name__ == "__main__":

@@ -54,6 +54,54 @@ def test_ais_recovers_tractable_logz():
     assert abs(res.logw - expected) < 0.35, (res.logw, expected)
 
 
+def test_bdmc_sandwich_brackets_tractable_logz():
+    """BDMC on the linear-Gaussian model: the forward bound must sit below
+    (within MC noise) and the reverse bound above the closed-form log p of
+    the SIMULATED batch, with a tight gap — the sandwich certifying the
+    schedule (engine/ais.bdmc; the reference ships only BDMC's schedule,
+    src/utils/AIS.py:65-77, never the bound)."""
+    L, D, s = 2, 3, 0.5
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.normal(size=(L, D)), jnp.float32)
+
+    def decoder_fn(z):
+        return z @ A, jnp.full((z.shape[0], D), 2.0 * np.log(s))
+
+    res = ais.bdmc(decoder_fn, n_batch=4, n_sample=64, latent_dim=L,
+                   schedule=ais.linear_schedule(150),
+                   key=jax.random.PRNGKey(0))
+    # closed form on the simulated rows, same constant-free convention as
+    # test_ais_recovers_tractable_logz
+    cov = np.asarray(A).T @ np.asarray(A) + s**2 * np.eye(D)
+    _, logdet = np.linalg.slogdet(cov)
+    quad = np.einsum("bi,ij,bj->b", res.x_sim, np.linalg.inv(cov), res.x_sim)
+    expected = float(np.mean(-0.5 * (quad + logdet)))
+    mc_tol = 0.25  # per-bound MC slack at 64 chains x 150 temps
+    assert res.lower <= expected + mc_tol, (res.lower, expected)
+    assert res.upper >= expected - mc_tol, (res.upper, expected)
+    assert res.gap >= -2 * mc_tol
+    assert res.gap < 1.0, f"sandwich too loose: {res}"
+
+
+def test_bdmc_gap_shrinks_with_schedule_length():
+    """More bridge temperatures must tighten (or hold) the sandwich — the
+    property that makes the gap a schedule-accuracy certificate."""
+    L, D, s = 2, 3, 0.5
+    rng = np.random.default_rng(4)
+    A = jnp.asarray(rng.normal(size=(L, D)), jnp.float32)
+
+    def decoder_fn(z):
+        return z @ A, jnp.full((z.shape[0], D), 2.0 * np.log(s))
+
+    gaps = [
+        ais.bdmc(decoder_fn, n_batch=4, n_sample=32, latent_dim=L,
+                 schedule=ais.linear_schedule(T),
+                 key=jax.random.PRNGKey(1)).gap
+        for T in (10, 150)
+    ]
+    assert gaps[1] < gaps[0] + 0.1, gaps
+
+
 def test_ais_latents_shape():
     def decoder_fn(z):
         return z[:, :1] * 0.0, jnp.zeros((z.shape[0], 1))

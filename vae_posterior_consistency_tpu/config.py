@@ -106,6 +106,16 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             "-profile", type=str, default="",
             help="write a jax.profiler trace of the run to this directory",
         )
+    if title == "ais_eval" and "bdmc" not in arguments:
+        # BDMC sandwich (engine/ais.bdmc): certify the AIS bridge by
+        # bracketing log p on simulated data between the forward and
+        # reverse bounds. The reference ships BDMC's schedule
+        # (src/utils/AIS.py:65-77) but never the bidirectional bound.
+        parser.add_argument(
+            "-bdmc", type=str2bool, default=False,
+            help="also run the BDMC lower/upper sandwich on simulated data "
+                 "to certify the AIS schedule (forward + reverse AIS)",
+        )
     return parser
 
 

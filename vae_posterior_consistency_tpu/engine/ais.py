@@ -67,12 +67,15 @@ class AISResult:
     latents: np.ndarray  # final chain positions [B, n_sample, L]
 
 
-def _prep_chains(x, n_sample: int, latent_dim: int, schedule, key, mesh):
+def _prep_chains(x, n_sample: int, latent_dim: int, schedule, key, mesh,
+                 z_init=None):
     """Shared chain setup for ais_batch and eval_ais_ensemble: mesh
     chain-count padding, chain replication, z0/HMC key derivation, and dp
     sharding. One definition keeps the single and ensemble paths'
     PRNG/padding byte-identical (replica 0 of the ensemble must reproduce
     eval_ais — tests/test_ais.py::test_ais_ensemble_matches_serial).
+    With `z_init` [B0, L] (reverse AIS / BDMC), chains start at those exact
+    latents instead of fresh prior draws.
     Returns (x_rep [B, D], z0 [B, L], keys, B0_run)."""
     B0 = x.shape[0]
     B0_run = B0
@@ -85,10 +88,17 @@ def _prep_chains(x, n_sample: int, latent_dim: int, schedule, key, mesh):
         if B0_run != B0:
             x = jnp.concatenate(
                 [x, jnp.zeros((B0_run - B0, x.shape[1]), x.dtype)])
+            if z_init is not None:
+                z_init = jnp.concatenate(
+                    [z_init,
+                     jnp.zeros((B0_run - B0, latent_dim), z_init.dtype)])
     B = B0_run * n_sample
     x_rep = jnp.tile(x, (n_sample, 1))
     k_init, k_scan = jax.random.split(key)
-    z0 = jax.random.normal(k_init, (B, latent_dim))
+    if z_init is None:
+        z0 = jax.random.normal(k_init, (B, latent_dim))
+    else:
+        z0 = jnp.tile(z_init, (n_sample, 1))
     keys = jax.random.split(k_scan, len(schedule) - 1)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -134,6 +144,61 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     logw_mat, lats = _chain_views(logw, z, n_sample, B0_run, B0, latent_dim)
     lw = jax.scipy.special.logsumexp(logw_mat, axis=-1) - jnp.log(n_sample)
     return AISResult(logw=float(jnp.mean(lw)), latents=np.asarray(lats))
+
+
+@dataclasses.dataclass
+class BDMCResult:
+    lower: float  # forward-AIS stochastic lower bound on log p(x_sim)
+    upper: float  # reverse-AIS stochastic upper bound on log p(x_sim)
+    gap: float  # upper - lower; certifies schedule accuracy
+    x_sim: np.ndarray  # the simulated batch [B, D]
+    z_true: np.ndarray  # its exact posterior samples [B, L]
+
+
+def bdmc(decoder_fn, n_batch: int, n_sample: int, latent_dim: int, schedule,
+         key, initial_eps: float = 0.01, leapfrog: int = 10,
+         mesh=None) -> BDMCResult:
+    """Bidirectional Monte Carlo sandwich (Grosse et al. 2015) on data
+    SIMULATED from the model itself.
+
+    Forward AIS (prior -> posterior) gives a stochastic LOWER bound on
+    log p(x_sim); reverse AIS, whose chains start at the exact posterior
+    sample z_true that generated x_sim and anneal the bridge backwards
+    (1 -> 0, so E[w_rev] = Z_0/Z_1 and -logmeanexp(w_rev) upper-bounds
+    log Z_1/Z_0 by Jensen), gives a stochastic UPPER bound. The gap
+    certifies the AIS schedule's accuracy for this decoder — the reference
+    ships BDMC's sigmoidal schedule (src/utils/AIS.py:65-77, citing BDMC
+    §6) but never the sandwich itself; this is the framework's completion
+    of that machinery. Simulated data is REQUIRED: only there is an exact
+    posterior sample available (the (z, x) pair from the generative roll).
+
+    Bounds use the same constant-free log-densities as ais_batch, so they
+    bracket eval_ais's logw convention (log p(x) + D/2 log 2pi).
+    """
+    schedule = jnp.asarray(schedule, jnp.float32)
+    k_sim, k_fwd, k_rev = jax.random.split(key, 3)
+    kz, kx = jax.random.split(k_sim)
+    z_true = jax.random.normal(kz, (n_batch, latent_dim))
+    mean, logvar = decoder_fn(z_true)
+    logvar = jnp.broadcast_to(logvar, mean.shape)
+    x = mean + jnp.exp(0.5 * logvar) * jax.random.normal(kx, mean.shape)
+
+    fwd = ais_batch(decoder_fn, x, n_sample, latent_dim, schedule, k_fwd,
+                    initial_eps, leapfrog, mesh=mesh)
+
+    rev_sched = schedule[::-1]
+    x_rep, z0, keys, B0_run = _prep_chains(x, n_sample, latent_dim,
+                                           rev_sched, k_rev, mesh,
+                                           z_init=z_true)
+    logw, z = _ais_chain(decoder_fn, x_rep, z0, rev_sched, keys,
+                         initial_eps, leapfrog)
+    logw_mat, _ = _chain_views(logw, z, n_sample, B0_run, n_batch,
+                               latent_dim)
+    upper_rows = -(jax.scipy.special.logsumexp(logw_mat, axis=-1)
+                   - jnp.log(n_sample))
+    upper = float(jnp.mean(upper_rows))
+    return BDMCResult(lower=fwd.logw, upper=upper, gap=upper - fwd.logw,
+                      x_sim=np.asarray(x), z_true=np.asarray(z_true))
 
 
 def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
@@ -365,3 +430,51 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
             artifacts.log_metric(cfg, "ais_logw", float(logws[0]),
                                  split.stage, experiments_root)
     return results
+
+
+def eval_bdmc(dataset, cfg: RunConfig, params=None, schedule=None,
+              n_sample: int = 100, n_batch: int | None = None, key=None,
+              experiments_root: str = "experiments", save: bool = True,
+              mesh=None) -> BDMCResult:
+    """BDMC sandwich for a trained Gaussian-decoder checkpoint: simulate
+    `n_batch` rows from the decoder, then bracket log p(x_sim) between the
+    forward and reverse AIS bounds (see `bdmc`). The gap is the actionable
+    output — it certifies (or indicts) the cfg.ais_schedule/cfg.n_ais_dist
+    bridge that eval_ais uses on the real splits. Saves bdmc_{lower,upper}
+    artifacts next to eval_ais's <stage>_ais.pt files."""
+    import os
+
+    from vae_posterior_consistency_tpu.engine import artifacts
+    from vae_posterior_consistency_tpu.engine.train import load_trained
+    from vae_posterior_consistency_tpu.models import gauss
+
+    model = get_model(cfg)
+    if model.name not in ("gauss",):
+        raise NotImplementedError(
+            "BDMC needs a Gaussian observation decoder; got family "
+            f"{model.name!r} (same constraint as eval_ais)")
+    if params is None:
+        params = load_trained(dataset, cfg, experiments_root)
+    if schedule is None:
+        schedule = (
+            linear_schedule(cfg.n_ais_dist)
+            if cfg.ais_schedule == "linear"
+            else sigmoidial_schedule(cfg.n_ais_dist)
+        )
+    if n_batch is None:
+        n_batch = min(cfg.batch_size, dataset.test.x.shape[0]
+                      if dataset.test is not None else cfg.batch_size)
+    key = jax.random.PRNGKey(cfg.seed + 5) if key is None else key
+
+    res = bdmc(lambda z: gauss.decode(params, z), n_batch, n_sample,
+               cfg.latent_dim, schedule, key, mesh=mesh)
+    if save:
+        base = os.path.join(
+            experiments_root, cfg.vae_type, cfg.data_type, "elbos",
+            f"{cfg.missing_rate}_missing", f"{cfg.epoch}_epochs",
+        )
+        artifacts.save_tensor(res.lower, os.path.join(base, "bdmc_lower.pt"))
+        artifacts.save_tensor(res.upper, os.path.join(base, "bdmc_upper.pt"))
+        artifacts.log_metric(cfg, "bdmc_gap", res.gap, "sim",
+                             experiments_root)
+    return res
