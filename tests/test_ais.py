@@ -102,6 +102,20 @@ def test_bdmc_gap_shrinks_with_schedule_length():
     assert gaps[1] < gaps[0] + 0.1, gaps
 
 
+def test_bdmc_flag_is_ais_entry_only():
+    """-bdmc belongs to the ais_eval parser alone (title-gated in
+    config.setup_parser); the other entries keep the reference flag surface
+    plus the documented framework extensions."""
+    from vae_posterior_consistency_tpu.config import setup_parser
+
+    record = {"vae_type": {"default": "vanilla_vae1", "help": ""}}
+    ais_args = setup_parser(record, "ais_eval").parse_args(["-bdmc", "true"])
+    assert ais_args.bdmc is True
+    assert (setup_parser(record, "ais_eval").parse_args([]).bdmc is False)
+    impute = setup_parser(record, "impute_eval").parse_args([])
+    assert not hasattr(impute, "bdmc")
+
+
 def test_ais_latents_shape():
     def decoder_fn(z):
         return z[:, :1] * 0.0, jnp.zeros((z.shape[0], 1))
