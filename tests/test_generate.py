@@ -46,6 +46,21 @@ def test_digits_artifacts_load_through_data_loader(tmp_path):
     assert ds.train.x.shape[0] + ds.test.x.shape[0] == 1797
 
 
+def test_cancer_table_is_genuine_and_loads(tmp_path):
+    from sklearn.datasets import load_breast_cancer
+
+    rng = np.random.default_rng(0)
+    x = generate._source_table("cancer", rng)
+    raw = load_breast_cancer().data.astype(np.float32)
+    keep = (raw.max(0) - raw.min(0)) > 0
+    np.testing.assert_array_equal(x, raw[:, keep])
+    assert x.shape == (569, 30)
+    generate.generate_uci(str(tmp_path), "cancer", seed=3)
+    ds = loaders.data_loader(str(tmp_path), "vanilla_vae1", 30, 64, "cancer")
+    assert ds.obs_dim == 30
+    assert np.isfinite(np.asarray(ds.train.x)).all()
+
+
 def test_unknown_data_type_rejected():
     with pytest.raises(ValueError):
         generate._source_table("nope", np.random.default_rng(0))

@@ -53,6 +53,17 @@ def _source_table(data_type: str, rng: np.random.Generator) -> np.ndarray:
         # BOTH stacks (reference src/utils/loaders.py:327-336) and is
         # undefined on constant columns. Values stay genuine; [1797, 61].
         return x[:, (x.max(0) - x.min(0)) > 0]
+    if data_type == "cancer":
+        # GENUINE data: sklearn's bundled UCI breast-cancer-Wisconsin table
+        # (569 x 30 real cell-nucleus measurements). A second real-world
+        # table at a different shape point than wine (178x13) and digits
+        # (1797x61): mid-size rows, 30 heterogeneous-scale columns (minmax
+        # normalization in both stacks handles the scale spread,
+        # reference src/utils/loaders.py:327-336).
+        from sklearn.datasets import load_breast_cancer
+
+        x = load_breast_cancer().data.astype(np.float32)  # [569, 30]
+        return x[:, (x.max(0) - x.min(0)) > 0]
     if data_type == "synth_small":
         # tiny correlated Gaussian table for fast tests / verification drives
         n, d = 120, 6
@@ -173,7 +184,7 @@ def main(argv=None):
     if args.tiny:
         generate_uci(args.root, "synth_small", seed=args.seed)
         return
-    for ds in ("wine", "digits", "synth_small", "synth"):
+    for ds in ("wine", "digits", "cancer", "synth_small", "synth"):
         generate_uci(args.root, ds, seed=args.seed)
     generate_mnist(args.root, seed=args.seed)
     print(f"artifacts written under {args.root}/")
