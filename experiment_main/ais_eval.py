@@ -3,8 +3,10 @@
 The reference ships its AIS+HMC estimator as a library imported by every entry
 script but wired into none of them (reference: src/experiment_main/
 imputation.py:11 imports eval_ais; src/utils/AIS.py:80-91). This entry point
-makes it a first-class pipeline: evaluate log p(x) for a trained
-Gaussian-decoder checkpoint over the train/test splits.
+makes it a first-class pipeline: evaluate log p(x) for a trained checkpoint
+of ANY model family over the train/test splits — the observation likelihood
+is selected per family (engine/ais.bridge_for): Gaussian for gauss/flow/
+notMIWAE, Student-t for MIWAE.
 
 Run:  PYTHONPATH=. python3 experiment_main/ais_eval.py -vae_type vanilla_vae1 ...
 """
@@ -76,8 +78,8 @@ def main():
         cfg.data_path, cfg.vae_type, cfg.missing_rate, cfg.batch_size,
         cfg.data_type,
     )
-    # eval_ais builds the cfg.ais_schedule bridge itself and rejects
-    # non-Gaussian-decoder families with a family-aware message.
+    # eval_ais builds the cfg.ais_schedule bridge itself; the observation
+    # likelihood is per-family (engine/ais.bridge_for).
     # -mesh dp-shards the independent AIS chains (engine/ais.ais_batch).
     mesh = resolve_mesh(cfg)
     if mesh is not None:

@@ -116,6 +116,98 @@ def test_bdmc_flag_is_ais_entry_only():
     assert not hasattr(impute, "bdmc")
 
 
+def test_ais_student_t_bridge_recovers_tractable_logz():
+    """Student-t bridge (the MIWAE likelihood, full density, fat-tailed
+    df=5) on a 1-D latent model, where log p(x) = log ∫ N(z) ∏_d t(x_d; z
+    a_d, s, df) dz is computable by dense numerical integration. Pins the
+    'exact' convention: the Student-t bridge's logw IS log p(x), constants
+    included (unlike the constant-free Gaussian bridge)."""
+    import math
+
+    from vae_posterior_consistency_tpu.ops.math import student_t_logpdf
+
+    L, D, s, df = 1, 2, 0.5, 5.0
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(L, D))
+    A = jnp.asarray(a, jnp.float32)
+    x = jnp.asarray(rng.normal(size=(4, D)) * 0.8, jnp.float32)
+
+    def log_lik_fn(z, x_rep):
+        return jnp.sum(
+            student_t_logpdf(x_rep, z @ A, jnp.float32(s), jnp.float32(df)),
+            axis=-1)
+
+    res = ais.ais_batch(None, x, n_sample=64, latent_dim=L,
+                        schedule=ais.linear_schedule(150),
+                        key=jax.random.PRNGKey(0), log_lik_fn=log_lik_fn)
+
+    # float64 ground truth on a dense z-grid
+    zg = np.linspace(-8.0, 8.0, 4001)[:, None]  # [G, 1]
+    log_prior = -0.5 * zg[:, 0] ** 2 - 0.5 * np.log(2.0 * np.pi)
+    y = (np.asarray(x)[None, :, :] - (zg @ a)[:, None, :]) / s  # [G, B, D]
+    log_t = (math.lgamma(0.5 * (df + 1.0)) - math.lgamma(0.5 * df)
+             - 0.5 * np.log(df * np.pi) - np.log(s)
+             - 0.5 * (df + 1.0) * np.log1p(y**2 / df))
+    integrand = log_prior[:, None] + log_t.sum(-1)  # [G, B]
+    m = integrand.max(0)
+    log_px = m + np.log(np.trapezoid(np.exp(integrand - m), zg[:, 0],
+                                     axis=0))
+    expected = float(np.mean(log_px))
+    assert abs(res.logw - expected) < 0.35, (res.logw, expected)
+
+
+def _tiny_dataset(D=5, n=6):
+    from vae_posterior_consistency_tpu.data.loaders import Dataset, Split
+
+    x_tr = jax.random.uniform(jax.random.PRNGKey(1), (n, D))
+    m = jnp.ones((n, D))
+    return Dataset(train=Split(x_tr, m, "train"), test=None, obs_dim=D)
+
+
+def test_ais_and_bdmc_run_for_every_family():
+    """eval_ais / eval_bdmc accept every vae_type via its bridge likelihood
+    (VERDICT r3 item 1; the reference driver is checkpoint-agnostic,
+    src/utils/AIS.py:120,135): Gaussian bridges for gauss/flow/notMIWAE,
+    Student-t for MIWAE."""
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.models import get_model
+
+    ds = _tiny_dataset()
+    for vt in ("vanilla_vae1", "reg_flow1", "vanilla_notMIWAE1", "MIWAE1"):
+        cfg = RunConfig(vae_type=vt, data_type="synth_small", latent_dim=3,
+                        n_ais_dist=10, ais_schedule="linear")
+        model = get_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), cfg, ds.obs_dim)
+        r = ais.eval_ais(ds, cfg, params=params, n_sample=4, save=False)
+        assert np.isfinite(r["train"].logw), vt
+        assert r["train"].latents.shape == (6, 4, 3), vt
+        bd = ais.eval_bdmc(ds, cfg, params=params, n_sample=4, n_batch=3,
+                           save=False)
+        assert np.isfinite(bd.lower) and np.isfinite(bd.upper), vt
+
+
+def test_ais_ensemble_matches_serial_nongauss():
+    """The vmapped [S]-replica runner keys per-family (bridge singletons):
+    replica 0 of a MIWAE ensemble must reproduce serial eval_ais exactly,
+    as the gauss family already pins."""
+    from vae_posterior_consistency_tpu.config import RunConfig
+    from vae_posterior_consistency_tpu.models import get_model
+
+    ds = _tiny_dataset()
+    cfg = RunConfig(vae_type="MIWAE1", data_type="synth_small", latent_dim=3,
+                    n_ais_dist=10, ais_schedule="linear")
+    model = get_model(cfg)
+    replicas = [model.init(jax.random.PRNGKey(s), cfg, ds.obs_dim)
+                for s in (0, 7)]
+    params_ens = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *replicas)
+    ens = ais.eval_ais_ensemble(ds, cfg, params_ens, n_sample=4, save=False)
+    for s, p_s in enumerate(replicas):
+        serial = ais.eval_ais(ds, cfg, params=p_s, n_sample=4, save=False)
+        np.testing.assert_allclose(ens["train"].logw[s],
+                                   serial["train"].logw, rtol=1e-5,
+                                   atol=1e-5, err_msg=f"s{s}")
+
+
 def test_ais_latents_shape():
     def decoder_fn(z):
         return z[:, :1] * 0.0, jnp.zeros((z.shape[0], 1))

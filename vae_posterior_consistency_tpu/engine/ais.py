@@ -10,9 +10,21 @@ TPU-first: the temperature loop is a `lax.scan`, gradients come from `jax.grad`
 of the potential, and all `n_sample` chains for a batch run as one [B*n, L]
 tensor — no Python loops on the hot path.
 
+Family coverage: the reference's `ais_trajectory` drives whatever checkpoint
+`model_loader` returns through `model.decoder(z)` with a Gaussian likelihood
+(AIS.py:120,135,125-140). Here the observation ("bridge") likelihood is
+pluggable per family (`bridge_for`): fixed-logvar Gaussian for the gauss
+family (VAE.py:379), fixed obs_logvar=-8 Gaussian for the flow family
+(VAE.py:1874,1946-1947), learned-variance Gaussian for notMIWAE
+(VAE.py:2768-2776, both 'changed' and 'author' decoder variants), and the
+Student-t likelihood for MIWAE (VAE.py:3061-3066) — so eval_ais /
+eval_ais_ensemble / eval_bdmc run for every vae_type.
+
 Parity notes:
-- log-densities drop the Gaussian constant, exactly as the reference's
-  `log_normal` (AIS.py:32-46).
+- Gaussian log-densities drop the constant, exactly as the reference's
+  `log_normal` (AIS.py:32-46), so Gaussian-bridge logw estimates
+  log p(x) + D/2 log 2pi. The Student-t bridge has no such reference
+  convention and uses the exact density: MIWAE logw IS log p(x).
 - Deviation (documented intent): the annealed term uses +t*log p(x|z). The
   reference multiplies the *negative* log-likelihood by t (AIS.py:125-140 calls
   neg_gaussian_log_likelihood), flipping the bridge's sign; we implement the
@@ -23,14 +35,21 @@ Parity notes:
 from __future__ import annotations
 
 import dataclasses
-
+import functools
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from vae_posterior_consistency_tpu.config import RunConfig
-from vae_posterior_consistency_tpu.models import get_model
+from vae_posterior_consistency_tpu.models import (
+    flow_vae,
+    gauss,
+    get_model,
+    layers,
+)
+from vae_posterior_consistency_tpu.ops.math import student_t_logpdf
 
 
 def linear_schedule(T: int) -> np.ndarray:
@@ -59,6 +78,91 @@ def _log_normal_nc(x, mean=None, logvar=None):
         logvar = jnp.zeros_like(x)
     return -0.5 * jnp.sum(logvar + jnp.square(x - mean) * jnp.exp(-logvar),
                           axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Per-family bridge likelihoods
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BridgeLik:
+    """A model family's observation likelihood as AIS sees it.
+
+    log_lik(params, z, x) -> [B] log p(x|z) (the bridge's annealed term);
+    sample_x(params, z, key) -> x ~ p(x|z) (BDMC simulation).
+    `convention` records the logw offset: 'gauss_nc' estimates
+    log p(x) + D/2 log 2pi (reference AIS.py:32-46 constant-free normals);
+    'exact' estimates log p(x) itself (Student-t, full density)."""
+
+    family: str
+    log_lik: Callable
+    sample_x: Callable
+    convention: str
+
+
+def _gaussian_ll_from(decode):
+    def log_lik(params, z, x):
+        mean, logvar = decode(params, z)
+        return _log_normal_nc(x, mean, jnp.broadcast_to(logvar, mean.shape))
+
+    return log_lik
+
+
+def _gaussian_sample_from(decode):
+    def sample_x(params, z, key):
+        mean, logvar = decode(params, z)
+        logvar = jnp.broadcast_to(logvar, mean.shape)
+        return mean + jnp.exp(0.5 * logvar) * jax.random.normal(key,
+                                                                mean.shape)
+
+    return sample_x
+
+
+def _notmiwae_decode_changed(params, z):
+    return layers.notmiwae_decoder_apply(params["decoder"], z,
+                                         variant="changed")
+
+
+def _notmiwae_decode_author(params, z):
+    return layers.notmiwae_decoder_apply(params["decoder"], z,
+                                         variant="author")
+
+
+def _miwae_log_lik(params, z, x):
+    """Exact Student-t log p(x|z) (reference decoder: VAE.py:3061-3066)."""
+    mean, scale, df = layers.student_t_decoder_apply(params["decoder"], z)
+    return jnp.sum(student_t_logpdf(x, mean, scale, df), axis=-1)
+
+
+def _miwae_sample_x(params, z, key):
+    mean, scale, df = layers.student_t_decoder_apply(params["decoder"], z)
+    return mean + scale * jax.random.t(key, df, mean.shape)
+
+
+_BRIDGES = {
+    ("gauss",): BridgeLik("gauss", _gaussian_ll_from(gauss.decode),
+                          _gaussian_sample_from(gauss.decode), "gauss_nc"),
+    ("flow",): BridgeLik("flow", _gaussian_ll_from(flow_vae.decode),
+                         _gaussian_sample_from(flow_vae.decode), "gauss_nc"),
+    ("notmiwae", "changed"): BridgeLik(
+        "notmiwae", _gaussian_ll_from(_notmiwae_decode_changed),
+        _gaussian_sample_from(_notmiwae_decode_changed), "gauss_nc"),
+    ("notmiwae", "author"): BridgeLik(
+        "notmiwae", _gaussian_ll_from(_notmiwae_decode_author),
+        _gaussian_sample_from(_notmiwae_decode_author), "gauss_nc"),
+    ("miwae",): BridgeLik("miwae", _miwae_log_lik, _miwae_sample_x, "exact"),
+}
+
+
+def bridge_for(cfg: RunConfig) -> BridgeLik:
+    """The AIS observation likelihood for cfg's model family. Returns module
+    singletons so the lru-cached jitted ensemble runners key by identity."""
+    model = get_model(cfg)
+    if model.name == "notmiwae":
+        return _BRIDGES[("notmiwae", getattr(cfg, "not_miwae_type",
+                                             "changed"))]
+    return _BRIDGES[(model.name,)]
 
 
 @dataclasses.dataclass
@@ -124,11 +228,14 @@ def _chain_views(logw, z, n_sample: int, B0_run: int, B0: int,
 
 def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
               initial_eps: float = 0.01, leapfrog: int = 10,
-              mesh=None) -> AISResult:
+              mesh=None, log_lik_fn=None) -> AISResult:
     """Run AIS for one batch of data.
 
-    decoder_fn(z) -> (mean, logvar): the model's observation decoder
-    (reference uses model.decoder the same way, AIS.py:135).
+    decoder_fn(z) -> (mean, logvar): a Gaussian observation decoder
+    (reference uses model.decoder the same way, AIS.py:135). For a
+    non-Gaussian bridge pass `log_lik_fn(z, x_rep) -> [B]` instead and
+    decoder_fn=None (eval_ais routes every family through here via
+    bridge_for).
 
     With `mesh`, the B0*n_sample independent chains dp-shard across the mesh
     (rows never interact until the final host-side logsumexp), so the whole
@@ -138,7 +245,12 @@ def ais_batch(decoder_fn, x, n_sample: int, latent_dim: int, schedule, key,
     schedule = jnp.asarray(schedule, jnp.float32)
     x_rep, z0, keys, B0_run = _prep_chains(x, n_sample, latent_dim,
                                            schedule, key, mesh)
-    logw, z = _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
+    if log_lik_fn is None:
+        log_lik_fn = _gaussian_ll_from(lambda _p, z: decoder_fn(z))
+        ll = functools.partial(log_lik_fn, None)
+    else:
+        ll = log_lik_fn
+    logw, z = _ais_chain(lambda z: ll(z, x_rep), z0, schedule, keys,
                          initial_eps, leapfrog)
     # IWAE-style bound over chains (reference: AIS.py:219-220)
     logw_mat, lats = _chain_views(logw, z, n_sample, B0_run, B0, latent_dim)
@@ -157,7 +269,7 @@ class BDMCResult:
 
 def bdmc(decoder_fn, n_batch: int, n_sample: int, latent_dim: int, schedule,
          key, initial_eps: float = 0.01, leapfrog: int = 10,
-         mesh=None) -> BDMCResult:
+         mesh=None, log_lik_fn=None, sample_fn=None) -> BDMCResult:
     """Bidirectional Monte Carlo sandwich (Grosse et al. 2015) on data
     SIMULATED from the model itself.
 
@@ -172,25 +284,33 @@ def bdmc(decoder_fn, n_batch: int, n_sample: int, latent_dim: int, schedule,
     of that machinery. Simulated data is REQUIRED: only there is an exact
     posterior sample available (the (z, x) pair from the generative roll).
 
-    Bounds use the same constant-free log-densities as ais_batch, so they
-    bracket eval_ais's logw convention (log p(x) + D/2 log 2pi).
+    Gaussian bridges (decoder_fn) use the same constant-free log-densities
+    as ais_batch, so the bounds bracket eval_ais's logw convention
+    (log p(x) + D/2 log 2pi). Non-Gaussian families pass log_lik_fn /
+    sample_fn (z, key) -> x instead (eval_bdmc wires them via bridge_for).
     """
     schedule = jnp.asarray(schedule, jnp.float32)
     k_sim, k_fwd, k_rev = jax.random.split(key, 3)
     kz, kx = jax.random.split(k_sim)
     z_true = jax.random.normal(kz, (n_batch, latent_dim))
-    mean, logvar = decoder_fn(z_true)
-    logvar = jnp.broadcast_to(logvar, mean.shape)
-    x = mean + jnp.exp(0.5 * logvar) * jax.random.normal(kx, mean.shape)
+    if sample_fn is None:
+        mean, logvar = decoder_fn(z_true)
+        logvar = jnp.broadcast_to(logvar, mean.shape)
+        x = mean + jnp.exp(0.5 * logvar) * jax.random.normal(kx, mean.shape)
+    else:
+        x = sample_fn(z_true, kx)
 
     fwd = ais_batch(decoder_fn, x, n_sample, latent_dim, schedule, k_fwd,
-                    initial_eps, leapfrog, mesh=mesh)
+                    initial_eps, leapfrog, mesh=mesh, log_lik_fn=log_lik_fn)
 
+    if log_lik_fn is None:
+        gauss_ll = _gaussian_ll_from(lambda _p, z: decoder_fn(z))
+        log_lik_fn = functools.partial(gauss_ll, None)
     rev_sched = schedule[::-1]
     x_rep, z0, keys, B0_run = _prep_chains(x, n_sample, latent_dim,
                                            rev_sched, k_rev, mesh,
                                            z_init=z_true)
-    logw, z = _ais_chain(decoder_fn, x_rep, z0, rev_sched, keys,
+    logw, z = _ais_chain(lambda z: log_lik_fn(z, x_rep), z0, rev_sched, keys,
                          initial_eps, leapfrog)
     logw_mat, _ = _chain_views(logw, z, n_sample, B0_run, n_batch,
                                latent_dim)
@@ -201,22 +321,17 @@ def bdmc(decoder_fn, n_batch: int, n_sample: int, latent_dim: int, schedule,
                       x_sim=np.asarray(x), z_true=np.asarray(z_true))
 
 
-def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
+def _ais_chain(ll_fn, z0, schedule, keys,
                initial_eps: float = 0.01, leapfrog: int = 10):
     """The device-pure AIS core: annealed HMC over the bridge schedule for
-    B independent chains. Returns (logw [B], final z [B, L]). Split out of
-    ais_batch so eval_ais_ensemble can vmap it over stacked seed-replica
-    params (same chains, same keys; replicas differ only by decoder
-    parameters)."""
+    B independent chains. `ll_fn(z) -> [B]` is the bridge's annealed term
+    log p(x|z), closed over the data (and, in the ensemble runner, over one
+    replica's params). Returns (logw [B], final z [B, L])."""
 
     def _prior_and_lik(z):
-        """One decoder evaluation -> (log p(z), log p(x|z)); every bridge
+        """One likelihood evaluation -> (log p(z), log p(x|z)); every bridge
         quantity is an affine combination of these two."""
-        log_prior = _log_normal_nc(z)
-        mean, logvar = decoder_fn(z)
-        logvar = jnp.broadcast_to(logvar, mean.shape)
-        log_lik = _log_normal_nc(x_rep, mean, logvar)
-        return log_prior, log_lik
+        return _log_normal_nc(z), ll_fn(z)
 
     def log_f(z, t):
         log_prior, log_lik = _prior_and_lik(z)
@@ -244,7 +359,7 @@ def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
     def step(carry, inp):
         z, eps, accept_hist, logw, j = carry
         t0, t1, k = inp
-        # one decoder evaluation serves both the bridge increment
+        # one likelihood evaluation serves both the bridge increment
         # (log f_t1 - log f_t0 = (t1-t0)·log p(x|z)) and cur_H's energy
         lp_z, ll_z = _prior_and_lik(z)
         logw = logw + (t1 - t0) * ll_z
@@ -277,17 +392,22 @@ def _ais_chain(decoder_fn, x_rep, z0, schedule, keys,
     return logw, z
 
 
-@jax.jit
-def _run_gauss_ensemble(params_ens, x_rep, z0, sched, keys):
-    """[S]-replica AIS in one program: _ais_chain vmapped over stacked
-    Gaussian-decoder params (same chains/keys for every replica)."""
-    from vae_posterior_consistency_tpu.models import gauss
+@functools.lru_cache(maxsize=None)
+def _ensemble_runner(bridge: BridgeLik):
+    """[S]-replica AIS in one program for one family's bridge: _ais_chain
+    vmapped over stacked decoder params (same chains/keys for every
+    replica). lru-cached per bridge singleton so repeated calls with the
+    same shapes hit jax's compile cache instead of re-tracing a closure."""
 
-    def one_seed(p):
-        return _ais_chain(lambda z: gauss.decode(p, z), x_rep, z0, sched,
-                          keys)
+    @jax.jit
+    def run(params_ens, x_rep, z0, sched, keys):
+        def one_seed(p):
+            return _ais_chain(lambda z: bridge.log_lik(p, z, x_rep), z0,
+                              sched, keys)
 
-    return jax.vmap(one_seed)(params_ens)
+        return jax.vmap(one_seed)(params_ens)
+
+    return run
 
 
 def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
@@ -296,20 +416,16 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
              mesh=None):
     """AIS driver over the dataset splits (reference: AIS.py:80-91) against the
     pre-trained checkpoint; saves <stage>_ais.pt artifacts
-    (reference: AIS.py:230-233). With `mesh`, chains dp-shard (ais_batch)."""
+    (reference: AIS.py:230-233). Runs for every model family via its
+    bridge likelihood (bridge_for — the reference driver is likewise
+    checkpoint-agnostic, AIS.py:120,135). With `mesh`, chains dp-shard
+    (ais_batch)."""
     import os
 
     from vae_posterior_consistency_tpu.engine import artifacts
     from vae_posterior_consistency_tpu.engine.train import load_trained
-    from vae_posterior_consistency_tpu.models import gauss
 
-    model = get_model(cfg)
-    if model.name not in ("gauss",):
-        raise NotImplementedError(
-            "AIS needs a Gaussian observation decoder; got family "
-            f"{model.name!r} (the reference likewise drives model.decoder "
-            "with Gaussian likelihood, AIS.py:125-140)"
-        )
+    bridge = bridge_for(cfg)
     if params is None:
         params = load_trained(dataset, cfg, experiments_root)
     if schedule is None:
@@ -320,8 +436,7 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
         )
     key = jax.random.PRNGKey(cfg.seed + 4) if key is None else key
 
-    def decoder_fn(z):
-        return gauss.decode(params, z)
+    log_lik_fn = functools.partial(bridge.log_lik, params)
 
     results = {}
     for split_idx, split in enumerate((dataset.train, dataset.test)):
@@ -329,9 +444,9 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
             continue
         # fixed per-split key derivation (Python's str hash is salted per
         # process and would make AIS chains non-reproducible across runs)
-        res = ais_batch(decoder_fn, split.x, n_sample, cfg.latent_dim,
+        res = ais_batch(None, split.x, n_sample, cfg.latent_dim,
                         schedule, jax.random.fold_in(key, split_idx),
-                        mesh=mesh)
+                        mesh=mesh, log_lik_fn=log_lik_fn)
         results[split.stage] = res
         if save:
             base = os.path.join(
@@ -359,9 +474,10 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
     Every replica anneals the SAME chains (same z0/HMC keys, same data) —
     replicas differ only by their trained parameters, exactly as S serial
     eval_ais runs would derive them — so replica 0 reproduces eval_ais
-    (pinned by tests/test_ais.py::test_ais_ensemble_matches_serial). With
-    `mesh`, chains dp-shard exactly as in ais_batch (the vmap adds a
-    replicated [S] axis on params only).
+    (pinned by tests/test_ais.py::test_ais_ensemble_matches_serial). Works
+    for every model family (bridge_for). With `mesh`, chains dp-shard
+    exactly as in ais_batch (the vmap adds a replicated [S] axis on params
+    only).
 
     Saves replica 0's logw/latents at the reference artifact paths and the
     extra seeds under `.seed{s}` suffixes (the reference CLI has no
@@ -372,11 +488,7 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
 
     from vae_posterior_consistency_tpu.engine import artifacts, checkpoint
 
-    model = get_model(cfg)
-    if model.name not in ("gauss",):
-        raise NotImplementedError(
-            "AIS needs a Gaussian observation decoder; got family "
-            f"{model.name!r}")
+    bridge = bridge_for(cfg)
     if schedule is None:
         schedule = (
             linear_schedule(cfg.n_ais_dist)
@@ -400,11 +512,8 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
 
             params_ens = jax.device_put(params_ens, NamedSharding(mesh, P()))
 
-        # module-level jit: sched/keys are runtime args, so repeated calls
-        # with the same SHAPES (every split of a suite, every test) hit
-        # jax's own compile cache instead of re-tracing a fresh closure
-        logw_s, z_s = _run_gauss_ensemble(params_ens, x_rep, z0, sched,
-                                          keys)  # [S,B], [S,B,L]
+        logw_s, z_s = _ensemble_runner(bridge)(params_ens, x_rep, z0, sched,
+                                               keys)  # [S,B], [S,B,L]
         logw_mat, lats_s = _chain_views(logw_s, z_s, n_sample, B0_run, B0,
                                         cfg.latent_dim)
         lw = (jax.scipy.special.logsumexp(logw_mat, axis=-1)
@@ -436,23 +545,19 @@ def eval_bdmc(dataset, cfg: RunConfig, params=None, schedule=None,
               n_sample: int = 100, n_batch: int | None = None, key=None,
               experiments_root: str = "experiments", save: bool = True,
               mesh=None) -> BDMCResult:
-    """BDMC sandwich for a trained Gaussian-decoder checkpoint: simulate
-    `n_batch` rows from the decoder, then bracket log p(x_sim) between the
-    forward and reverse AIS bounds (see `bdmc`). The gap is the actionable
-    output — it certifies (or indicts) the cfg.ais_schedule/cfg.n_ais_dist
-    bridge that eval_ais uses on the real splits. Saves bdmc_{lower,upper}
-    artifacts next to eval_ais's <stage>_ais.pt files."""
+    """BDMC sandwich for a trained checkpoint of any family: simulate
+    `n_batch` rows from the decoder (Gaussian or Student-t, per bridge_for),
+    then bracket log p(x_sim) between the forward and reverse AIS bounds
+    (see `bdmc`). The gap is the actionable output — it certifies (or
+    indicts) the cfg.ais_schedule/cfg.n_ais_dist bridge that eval_ais uses
+    on the real splits. Saves bdmc_{lower,upper} artifacts next to
+    eval_ais's <stage>_ais.pt files."""
     import os
 
     from vae_posterior_consistency_tpu.engine import artifacts
     from vae_posterior_consistency_tpu.engine.train import load_trained
-    from vae_posterior_consistency_tpu.models import gauss
 
-    model = get_model(cfg)
-    if model.name not in ("gauss",):
-        raise NotImplementedError(
-            "BDMC needs a Gaussian observation decoder; got family "
-            f"{model.name!r} (same constraint as eval_ais)")
+    bridge = bridge_for(cfg)
     if params is None:
         params = load_trained(dataset, cfg, experiments_root)
     if schedule is None:
@@ -466,8 +571,9 @@ def eval_bdmc(dataset, cfg: RunConfig, params=None, schedule=None,
                       if dataset.test is not None else cfg.batch_size)
     key = jax.random.PRNGKey(cfg.seed + 5) if key is None else key
 
-    res = bdmc(lambda z: gauss.decode(params, z), n_batch, n_sample,
-               cfg.latent_dim, schedule, key, mesh=mesh)
+    res = bdmc(None, n_batch, n_sample, cfg.latent_dim, schedule, key,
+               mesh=mesh, log_lik_fn=functools.partial(bridge.log_lik, params),
+               sample_fn=functools.partial(bridge.sample_x, params))
     if save:
         base = os.path.join(
             experiments_root, cfg.vae_type, cfg.data_type, "elbos",
