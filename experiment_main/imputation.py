@@ -98,6 +98,42 @@ def _train_and_eval_one(dataset, cfg, mesh):
     return eval_engine.eval_vae(dataset, cfg)
 
 
+def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds):
+    """`-seeds N` on the serial (non-ensemble) grid: the N seed replicas of
+    ONE config train as a single seed-ensemble program
+    (parallel/sweep.train_seed_ensemble — replica 0 reproduces the plain
+    run's PRNG streams) and evaluate as one vmapped program. Seed 0 keeps
+    the reference checkpoint/artifact contract; extra seeds save under
+    `.seed{s}` suffixes — the same convention as every other entry point.
+    Returns {stage: {metric: (mean, std)}}."""
+    import jax as _jax
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    seeds = [cfg.seed + si for si in range(n_seeds)]
+    params_ens, _hist = sweep.train_seed_ensemble(dataset, cfg, seeds,
+                                                  mesh=mesh)
+    _jax.block_until_ready(_hist)
+    for si in range(n_seeds):
+        p_r = _jax.device_get(sweep.ensemble_replica(params_ens, si))
+        checkpoint.save(
+            p_r, checkpoint.checkpoint_path(cfg, "experiments")
+            + checkpoint.seed_suffix(si))
+    print(f"=== eval {cfg.vae_type} (seeds={n_seeds}) ===")
+    per_row = eval_engine.eval_vae_ensemble(
+        [dataset] * n_seeds, [cfg] * n_seeds, params_ens, save_rows=[0])
+    out = {}
+    for stage in per_row[0]:
+        out[stage] = {}
+        for k in per_row[0][stage]:
+            vals = [r[stage][k] for r in per_row]
+            mu = sum(vals) / len(vals)
+            sd = (sum((v - mu) ** 2 for v in vals) / len(vals)) ** 0.5
+            out[stage][k] = (mu, sd)
+    return out
+
+
 def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
     """`-ensemble true -alphas a,b,...`: each REG config's whole alpha sweep
     trains as ONE vmapped replica program (parallel/sweep.train_alpha_ensemble
@@ -275,12 +311,14 @@ def run_suite_ensembles(records, missing, alpha):
 
     Composes with `-mesh`: replica rows dp-shard over the resolved mesh
     (parallel/sweep.shard_ensemble; replica padding handles S % dp != 0).
-    Groups whose splits have unequal row counts fall back to the serial
-    engine per record.
+    Groups whose splits have unequal row counts still train as ONE program
+    (smaller splits wrap-pad — parallel/sweep.train_split_ensemble); eval
+    runs one vmapped program per split-size class.
     """
     import time as _time
 
     import jax as _jax
+    import jax.numpy as jnp
 
     from vae_posterior_consistency_tpu.engine import checkpoint
     from vae_posterior_consistency_tpu.parallel import sweep
@@ -311,25 +349,6 @@ def run_suite_ensembles(records, missing, alpha):
             for c in cfgs
         ]
         names = [c.vae_type for c in cfgs]
-        train_shapes = {tuple(d.train.x.shape) for d in datasets}
-        # None-ness must agree too: a mixed None/non-None group would make
-        # eval_vae_ensemble skip the test stage for EVERY config in the group
-        test_shapes = {None if d.test is None else tuple(d.test.x.shape)
-                       for d in datasets}
-        if len(train_shapes) > 1 or len(test_shapes) > 1:
-            n_seeds = max(1, int(getattr(args, "seeds", 1)))
-            note = (" (-seeds not applied on this path)"
-                    if n_seeds > 1 else "")
-            print(f"--- {names}: unequal split shapes, serial "
-                  f"fallback{note} ---", flush=True)
-            for cfg, ds in zip(cfgs, datasets):
-                # the fallback still honors -mesh, same routing as the
-                # non-ensemble serial grid (_train_and_eval_one)
-                results = _train_and_eval_one(ds, cfg, mesh)
-                for stage, metrics in results.items():
-                    print(f"  {cfg.vae_type} [{stage}] " + "  ".join(
-                        f"{k}={v:.5f}" for k, v in metrics.items()))
-            continue
         n_seeds = max(1, int(getattr(args, "seeds", 1)))
         seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
         print(f"=== ensemble train {names} (missing={missing}, "
@@ -350,10 +369,27 @@ def run_suite_ensembles(records, missing, alpha):
                     + checkpoint.seed_suffix(s))
             checkpoint.save(p_i, path)
         # seed-0 rows keep the reference artifact contract; the engine owns
-        # the write policy (eval_vae_ensemble's save_rows)
-        all_results = eval_engine.eval_vae_ensemble(
-            datasets * n_seeds, cfgs * n_seeds, params_ens,
-            save_rows=range(S0))
+        # the write policy (eval_vae_ensemble's save_rows). Ragged groups:
+        # one vmapped eval program per split-SIZE class (the evaluator's
+        # perm/batch structure is shape-static per n; equal-size groups take
+        # one program exactly as before).
+        all_datasets = datasets * n_seeds
+        all_cfgs = cfgs * n_seeds
+        classes: dict = {}
+        for r in range(S0 * n_seeds):
+            d = all_datasets[r]
+            size_key = (d.train.n, None if d.test is None else d.test.n)
+            classes.setdefault(size_key, []).append(r)
+        all_results = [None] * (S0 * n_seeds)
+        for rows_cls in classes.values():
+            p_sub = _jax.tree_util.tree_map(
+                lambda leaf: leaf[jnp.asarray(rows_cls)], params_ens)
+            res = eval_engine.eval_vae_ensemble(
+                [all_datasets[r] for r in rows_cls],
+                [all_cfgs[r] for r in rows_cls], p_sub,
+                save_rows=[j for j, r in enumerate(rows_cls) if r < S0])
+            for j, r in enumerate(rows_cls):
+                all_results[r] = res[j]
         for i, cfg in enumerate(cfgs):
             per_seed = [all_results[s * S0 + i] for s in range(n_seeds)]
             for stage in per_seed[0]:
@@ -419,11 +455,7 @@ def _run_grid(records, probe):
             for alpha in alphas:
                 run_suite_ensembles(records, missing, alpha)
         return
-    if max(1, int(getattr(probe, "seeds", 1))) > 1:
-        print("[warning] -seeds is only applied in ensemble mode on this "
-              "entry point; running the serial grid single-seed. Use "
-              "-ensemble true -seeds N for the error-barred grid.",
-              flush=True)
+    n_seeds = max(1, int(getattr(probe, "seeds", 1)))
     alphas = parse_alphas(probe, ALPHA_SWEEP)
     missings = parse_missings(probe, MISSING_SWEEP)
     for record in records:
@@ -441,8 +473,19 @@ def _run_grid(records, probe):
                 # train_k as num_samples to train, valid_k to eval)
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
+                seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
                 print(f"=== train {cfg.vae_type} (missing={missing}, "
-                      f"alpha={alpha}){tag} ===")
+                      f"alpha={alpha}{seed_tag}){tag} ===")
+                if n_seeds > 1:
+                    # error bars without -ensemble: each record's N seed
+                    # replicas run as one program (_train_and_eval_seeds)
+                    results = _train_and_eval_seeds(dataset, cfg, mesh,
+                                                    n_seeds)
+                    for stage, metrics in results.items():
+                        print(f"  [{stage}] " + "  ".join(
+                            f"{k}={mu:.5f}±{sd:.5f}"
+                            for k, (mu, sd) in metrics.items()))
+                    continue
                 results = _train_and_eval_one(dataset, cfg, mesh)
                 for stage, metrics in results.items():
                     print(f"  [{stage}] " + "  ".join(

@@ -310,21 +310,35 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     its own init + mask/model streams via its replica index), turning the
     grid into an error-barred replication in the SAME single program.
     Returned params/history keep the full seed-major row order.
+
+    RAGGED splits (reference-provided train_index CSVs carry no equal-size
+    guarantee, src/utils/loaders.py:322-326): smaller splits wrap-pad to the
+    group's max row count (row j of a padded table is the split's row
+    j mod n_i — uniform oversampling of REAL rows), so every replica takes
+    ceil(n_max/bsz) full-batch optimizer steps per epoch. This is the same
+    convention the engines already use for the last batch of one epoch
+    (perm[:pad] wrap below; parallel/train_parallel.py tiles the perm) — no
+    zero rows, so no per-family loss-weight plumbing and no gradient-scale
+    skew. An equal-shape group is bitwise unchanged, and a replica whose
+    split already has n_max rows trains exactly as in an all-equal group
+    (pinned by tests/test_parallel.py::test_split_ensemble_ragged_*).
     """
     model = get_model(cfg)
     if n_seeds > 1:
         datasets = list(datasets) * n_seeds
     S = len(datasets)
-    shapes = {tuple(d.train.x.shape) for d in datasets}
-    if len(shapes) > 1:
-        # jnp.stack would raise an opaque shape error; splits from
-        # generate_uci always agree, but reference-provided train_index CSVs
-        # carry no such guarantee (ADVICE r2 finding #4)
+    obs_dims = {d.train.x.shape[1] for d in datasets}
+    if len(obs_dims) > 1:
         raise ValueError(
-            "train_split_ensemble needs identical train-split shapes across "
-            f"the group; got {sorted(shapes)} — run these configs through "
-            "the serial engine instead"
+            "train_split_ensemble needs one obs_dim across the group; got "
+            f"{sorted(obs_dims)} — these are different tables, not splits"
         )
+    n_max = max(d.train.n for d in datasets)
+
+    def _wrap(a):
+        if a.shape[0] == n_max:
+            return a
+        return jnp.take(a, jnp.arange(n_max) % a.shape[0], axis=0)
     # replica padding: replica rows shard over the mesh's dp axis, so with a
     # mesh the [S, P] matrix is padded to the next multiple of dp by
     # duplicating the last split (the reference suite's split triples hit
@@ -334,8 +348,10 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     if mesh is not None:
         dp = mesh.shape["dp"]
         S_run = -(-S // dp) * dp
-    xs = jnp.stack([datasets[min(i, S - 1)].train.x for i in range(S_run)])
-    ms = jnp.stack([datasets[min(i, S - 1)].train.mask for i in range(S_run)])
+    xs = jnp.stack([_wrap(datasets[min(i, S - 1)].train.x)
+                    for i in range(S_run)])
+    ms = jnp.stack([_wrap(datasets[min(i, S - 1)].train.mask)
+                    for i in range(S_run)])
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.PRNGKey(cfg.seed), jnp.arange(S_run))
     Pmat, unravel = _flat_ensemble_init(model, cfg, xs.shape[2], init_keys)
