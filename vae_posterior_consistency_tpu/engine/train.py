@@ -102,33 +102,35 @@ def _program_cache_key(cfg: RunConfig, n: int, obs_dim: int):
 
 def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
                         model=None, template_params=None):
-    """Build a (flat_params, opt_state, key, epoch0, n_epochs)-chunk runner.
+    """Build a (params, opt_state, key, epoch0, n_epochs)-chunk runner.
 
-    TPU optimization: inside the compiled loop, parameters live as ONE flat
-    vector (`ravel_pytree`) so the Adam update is a single fused elementwise
-    kernel instead of ~20 per-leaf ops — measured +26% step throughput on v5e
-    at the flagship size. `unravel` inside the loss is reshape/slice views,
-    free under XLA. The pytree layout remains the public API (checkpoints,
-    sharding) — see FlatRunner.to_tree/from_tree. Compiled programs are
-    shared across split-digit siblings via _RUNNER_CACHE.
+    Parameter layout (re-measured 2026-08-19, tools/bench_mnist_probes.py):
+    params stay a PYTREE through the compiled loop. The original flat-vector
+    design (ravel_pytree + one fused Adam kernel, +26% in the round-1
+    measurement) re-measured SLOWER everywhere on the current engine:
+    flagship 4.08M vs 4.66M samples/s (pytree +14%), MNIST-EDDI b1024
+    ~25-29 vs ~29-33 TFLOP/s (pytree +10-17%, interleaved same-process
+    A/B). The r3b profile explains why: the per-step unravel retile
+    copies/reshapes (~12 us/step) and the flat-grad concatenate
+    (24.7 us/step @ 361 GB/s) cost more than optax's per-leaf Adam kernels
+    save (profiles/mnist_eddi_r3b; the old design's probes are kept in
+    tools/bench_mnist_probes.py as `flat`/`seg2`). The [S,P] flat-matrix
+    ENSEMBLE design (parallel/sweep.py) is a different regime — S tiny
+    replicas, one fused update across the stack — and keeps its own
+    measured win. Compiled programs are shared across split-digit siblings
+    via _RUNNER_CACHE.
     """
     # The cache key is the digit-stripped config: a caller passing a CUSTOM
     # model (anything but get_model(cfg)) must bypass the cache entirely,
     # both read and write — on a hit it would silently get another model's
     # compiled program, and on a miss it would poison the cache for every
-    # later get_model(cfg) caller (ADVICE r2 finding #2). template_params
-    # only sets the flat layout and is likewise ignored on a hit.
+    # later get_model(cfg) caller (ADVICE r2 finding #2).
     custom_model = model is not None and model != get_model(cfg)
     key_ = _program_cache_key(cfg, data.shape[0], data.shape[1])
     cached = None if custom_model else _RUNNER_CACHE.get(key_)
     if cached is not None:
-        run_chunk, tx, unravel = cached
-        from jax.flatten_util import ravel_pytree as _rp
-
-        return FlatRunner(run_chunk, tx, lambda p: _rp(p)[0], unravel,
-                          data, mask)
-
-    from jax.flatten_util import ravel_pytree
+        run_chunk, tx = cached
+        return Runner(run_chunk, tx, data, mask)
 
     model = model or get_model(cfg)
     n = data.shape[0]
@@ -138,17 +140,13 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     info = cfg.info
     tx = optax.adam(LEARNING_RATE)
 
-    if template_params is None:
-        template_params = model.init(jax.random.PRNGKey(0), cfg, data.shape[1])
-    _, unravel = ravel_pytree(template_params)
-
-    def loss_fn(pf, x, m, mp, key, epoch):
-        return model.train_loss(unravel(pf), x, m, mp, key, epoch, cfg)[0]
+    def loss_fn(p, x, m, mp, key, epoch):
+        return model.train_loss(p, x, m, mp, key, epoch, cfg)[0]
 
     @partial(jax.jit, static_argnames=("n_epochs",), donate_argnums=(0, 1))
-    def run_chunk(pflat, opt_state, data, mask, key, epoch0, n_epochs):
+    def run_chunk(params, opt_state, data, mask, key, epoch0, n_epochs):
         def epoch_body(carry, epoch_off):
-            pflat, opt_state = carry
+            params, opt_state = carry
             epoch = epoch0 + epoch_off  # 0-based here; loss gets epoch+1
             ekey = jax.random.fold_in(key, epoch)
             kperm, kstep = jax.random.split(ekey)
@@ -169,7 +167,7 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
             kpairs = jax.vmap(jax.random.split)(skeys)  # [steps, 2, 2]
 
             def step_body(carry2, inputs):
-                pflat, opt_state = carry2
+                params, opt_state = carry2
                 s, kpair = inputs
                 x_b = jax.lax.dynamic_slice(
                     x_epoch, (s * bsz, 0), (bsz, x_epoch.shape[1]))
@@ -178,52 +176,61 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
                 k_mask, k_model = kpair[0], kpair[1]
                 eff_mask, mask_p = masks.train_masks(info, cfg, k_mask, m_b)
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    pflat, x_b, eff_mask, mask_p, k_model,
+                    params, x_b, eff_mask, mask_p, k_model,
                     (epoch + 1).astype(jnp.float32),
                 )
-                updates, opt_state = tx.update(grads, opt_state, pflat)
-                pflat = optax.apply_updates(pflat, updates)
-                return (pflat, opt_state), loss
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
 
             # unroll=8: measured +2% over unroll=4 steady-state on v5e
             # (amortizes per-iteration scan overhead for these tiny step
             # graphs); the hoisted gathers/keys above are worth +59%
-            (pflat, opt_state), losses = jax.lax.scan(
-                step_body, (pflat, opt_state), (jnp.arange(steps), kpairs),
+            (params, opt_state), losses = jax.lax.scan(
+                step_body, (params, opt_state), (jnp.arange(steps), kpairs),
                 unroll=min(8, steps),
             )
-            return (pflat, opt_state), jnp.sum(losses)
+            return (params, opt_state), jnp.sum(losses)
 
-        (pflat, opt_state), epoch_losses = jax.lax.scan(
-            epoch_body, (pflat, opt_state), jnp.arange(n_epochs)
+        (params, opt_state), epoch_losses = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs)
         )
-        return pflat, opt_state, epoch_losses
-
-    def to_flat(params):
-        return ravel_pytree(params)[0]
+        return params, opt_state, epoch_losses
 
     if not custom_model:
-        _cache_put(_RUNNER_CACHE, key_, (run_chunk, tx, unravel))
-    return FlatRunner(run_chunk, tx, to_flat, unravel, data, mask)
+        _cache_put(_RUNNER_CACHE, key_, (run_chunk, tx))
+    return Runner(run_chunk, tx, data, mask)
 
 
-class FlatRunner:
-    """Chunk runner over flat parameters with pytree conversion at the edges.
+def _identity(p):
+    return p
+
+
+class Runner:
+    """Chunk runner over pytree parameters.
 
     Holds this run's (data, mask) and feeds them to the shared compiled
-    chunk program as runtime arguments (see _RUNNER_CACHE)."""
+    chunk program as runtime arguments (see _RUNNER_CACHE). to_flat/to_tree
+    are identity hooks kept from the retired flat-vector design so callers
+    (bench.py, tests) are layout-agnostic."""
 
-    def __init__(self, run_chunk, tx, to_flat, to_tree, data, mask):
+    #: parameter-layout hooks — identity since the pytree re-measurement
+    to_flat = staticmethod(_identity)
+    to_tree = staticmethod(_identity)
+
+    def __init__(self, run_chunk, tx, data, mask):
         self.run_chunk = run_chunk
         self.tx = tx
-        self.to_flat = to_flat
-        self.to_tree = to_tree
         self.data = data
         self.mask = mask
 
-    def __call__(self, pflat, opt_state, key, epoch0, n_epochs):
-        return self.run_chunk(pflat, opt_state, self.data, self.mask, key,
+    def __call__(self, params, opt_state, key, epoch0, n_epochs):
+        return self.run_chunk(params, opt_state, self.data, self.mask, key,
                               epoch0, n_epochs)
+
+
+#: retired name (the flat-vector runner) — same interface, pytree layout
+FlatRunner = Runner
 
 
 def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
@@ -295,7 +302,7 @@ def train(
     split: Split = dataset.train
     runner = _build_epoch_runner(cfg, split.x, split.mask, model,
                                  template_params=params)
-    pflat = runner.to_flat(params)
+    pflat = runner.to_flat(params)  # identity since the pytree runner
     opt_state = runner.tx.init(pflat)
 
     val_fn = None
@@ -337,7 +344,10 @@ def train(
             log_fn(done, history[-1])
         if val_fn is not None:
             vloss = float(val_fn(pflat, k_val))
-            if early_stopping.update(vloss, runner.to_tree(pflat)):
+            # snapshot to host: the live arrays are DONATED to the next
+            # chunk call, which would delete a stored device reference
+            if early_stopping.update(vloss,
+                                     jax.device_get(runner.to_tree(pflat))):
                 break
 
     params = runner.to_tree(pflat)
