@@ -232,8 +232,15 @@ class RunConfig:
     valid_k: int = 5000  # IWAE samples during validation
     n_iwae: int = 50
     n_ais_iwae: int = 40
-    ais_schedule: str = "linear"
-    n_ais_dist: int = 50
+    # AIS bridge defaults pinned by the round-4 BDMC certification study
+    # (RESULTS.md "AIS/BDMC schedule certification"): sigmoidal T=500 closes
+    # the sandwich for Gaussian-decoder checkpoints (<0.01 nats measured;
+    # the reference ships linear T=500, src/utils/AIS.py:83,98, and never
+    # certifies it). The flow family's obs_logvar=-8 likelihood is a much
+    # harder bridge — raise n_ais_dist to >=1000 there (2.5-nat gap
+    # measured at sigmoidal T=1000; ais_eval.py -bdmc true reports it).
+    ais_schedule: str = "sigmoidal"
+    n_ais_dist: int = 500
     num_estimates: int = 100
     beta_annealing: bool = False
     alpha_annealing: bool = True

@@ -316,11 +316,19 @@ def train(
     resume_path = final_path + ".resume.pt"
     done = 0
     if resume and os.path.exists(resume_path):
-        state = checkpoint.load(
-            {"pflat": pflat, "opt_state": opt_state,
-             "epoch": jnp.zeros((), jnp.int32)},
-            resume_path,
-        )
+        try:
+            state = checkpoint.load(
+                {"pflat": pflat, "opt_state": opt_state,
+                 "epoch": jnp.zeros((), jnp.int32)},
+                resume_path,
+            )
+        except Exception as e:
+            raise RuntimeError(
+                f"cannot resume from {resume_path}: its layout does not "
+                "match this engine (files written before the pytree-runner "
+                "migration stored a flat vector). Delete the .resume.pt to "
+                "restart from scratch."
+            ) from e
         pflat, opt_state = state["pflat"], state["opt_state"]
         done = int(state["epoch"])
 
