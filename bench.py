@@ -331,7 +331,7 @@ def _bench_seed_ensemble(n_seeds: int, epochs: int = 20):
     mask = jnp.asarray(rng.random((N_ROWS, OBS_DIM)) < 0.7, jnp.float32)
     ds = Dataset(train=Split(data, mask, "train"), test=None, obs_dim=OBS_DIM)
 
-    run_chunk, params, opt_state, _unravel = build_seed_ensemble_runner(
+    run_chunk, params, opt_state = build_seed_ensemble_runner(
         ds, cfg, list(range(n_seeds)))
     params, opt_state, hist = run_chunk(params, opt_state, jnp.asarray(0),
                                         epochs)  # compile + warmup

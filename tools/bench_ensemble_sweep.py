@@ -48,7 +48,7 @@ def measure(n_seeds: int, batch: int, epochs: int):
     mask = jnp.asarray(rng.random((N_ROWS, OBS_DIM)) < 0.7, jnp.float32)
     ds = Dataset(train=Split(data, mask, "train"), test=None, obs_dim=OBS_DIM)
 
-    run_chunk, params, opt_state, _ = build_seed_ensemble_runner(
+    run_chunk, params, opt_state = build_seed_ensemble_runner(
         ds, cfg, list(range(n_seeds)))
     t0 = time.perf_counter()
     params, opt_state, hist = run_chunk(params, opt_state, jnp.asarray(0),

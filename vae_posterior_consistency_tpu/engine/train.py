@@ -114,11 +114,10 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     copies/reshapes (~12 us/step) and the flat-grad concatenate
     (24.7 us/step @ 361 GB/s) cost more than optax's per-leaf Adam kernels
     save (profiles/mnist_eddi_r3b; the old design's probes are kept in
-    tools/bench_mnist_probes.py as `flat`/`seg2`). The [S,P] flat-matrix
-    ENSEMBLE design (parallel/sweep.py) is a different regime — S tiny
-    replicas, one fused update across the stack — and keeps its own
-    measured win. Compiled programs are shared across split-digit siblings
-    via _RUNNER_CACHE.
+    tools/bench_mnist_probes.py as `flat`/`seg2`). The same re-measurement
+    migrated the ENSEMBLES to stacked pytrees (parallel/sweep.py, +21% at
+    S=128 — tools/bench_ensemble_probes.py). Compiled programs are shared
+    across split-digit siblings via _RUNNER_CACHE.
     """
     # The cache key is the digit-stripped config: a caller passing a CUSTOM
     # model (anything but get_model(cfg)) must bypass the cache entirely,

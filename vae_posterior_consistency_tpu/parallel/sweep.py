@@ -6,16 +6,21 @@ Here a whole axis of the sweep trains simultaneously: an ensemble of N
 independent runs becomes ONE batched XLA program whose matmuls stack on the
 MXU.
 
-Design (round 2): all three ensemble axes share one runner built exactly like
-the serial engine's hot loop (engine/train.py:_build_epoch_runner) — the
-ensemble's parameters live as a single [S, P] flat matrix so the Adam update
-is ONE fused elementwise kernel for the whole ensemble (Adam is elementwise,
-so updating the stacked matrix is bitwise-identical to S separate updates),
-the backward pass is one summed-loss autodiff whose per-replica gradients
-land in the [S, P] rows, and the per-epoch gathers/key-derivations are
-hoisted out of the step scan. The first version of this module vmapped
-pytree-Adam per replica; at the suite's tiny shapes that ran ~4x slower than
-the serial flat runner per replica — per-leaf kernel overhead, not FLOPs.
+Design (round 4 re-measurement): all three ensemble axes share one runner
+built exactly like the serial engine's hot loop
+(engine/train.py:_build_epoch_runner) — the ensemble's parameters are a
+STACKED PYTREE (every leaf carries a leading [S] replica axis), the
+backward is one summed-loss autodiff over the vmapped per-replica losses,
+optax Adam updates each stacked leaf (elementwise, so bitwise-identical to
+S separate updates), and the per-epoch gathers/key-derivations are hoisted
+out of the step scan. History: round 2 shipped an [S, P] flat-MATRIX
+layout (one fused Adam kernel) after an early vmapped-pytree version
+measured ~4x slower; round 4's probes re-measured the head-to-head at the
+production shape (S=128, batch 64, tools/bench_ensemble_probes.py) and the
+stacked pytree now wins +21% (40.8M vs 33.8M samples/s, identical losses)
+for the same reason the single-run engine switched: the per-replica
+`unravel` retiles and the [S, P] grad assembly cost more than per-leaf
+Adam kernels on [S, ...] leaves.
 
 Key-stream semantics per axis (unchanged from the vmapped version):
 - seed ensemble:  every replica has its own shuffle order and mask/model
@@ -43,20 +48,12 @@ from vae_posterior_consistency_tpu.models import get_model
 from vae_posterior_consistency_tpu.ops import masks as masks_ops
 
 
-def _flat_ensemble_init(model, cfg, obs_dim, init_keys):
-    """[S, P] stacked flat params + the unravel back to one replica's pytree."""
-    from jax.flatten_util import ravel_pytree
-
-    template = model.init(jax.random.PRNGKey(0), cfg, obs_dim)
-    _, unravel = ravel_pytree(template)
-
-    def init_flat(k):
-        return ravel_pytree(model.init(k, cfg, obs_dim))[0]
-
-    return jax.vmap(init_flat)(init_keys), unravel
+def _stacked_init(model, cfg, obs_dim, init_keys):
+    """Stacked-pytree ensemble init: every leaf gains a leading [S] axis."""
+    return jax.vmap(lambda k: model.init(k, cfg, obs_dim))(init_keys)
 
 
-def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
+def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
                          mode: str, S: int, seeds=None, alphas=None,
                          missings=None):
     """Compile the ensemble chunk runner.
@@ -66,8 +63,8 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
     p_missingness rates — the rate enters only the mask_p draw
     (ops/masks.train_masks -> sub_mask), so a traced per-replica scalar
     substitutes via cfg.replace exactly like alpha in the traced loss.
-    Returns run_chunk(Pmat [S,P], opt_state, epoch0, n_epochs) ->
-    (Pmat, opt_state, hist [n_epochs, S]).
+    Returns run_chunk(params_ens, opt_state, epoch0, n_epochs) ->
+    (params_ens, opt_state, hist [n_epochs, S]) over the stacked pytree.
     """
     info = cfg.info
     tx = optax.adam(LEARNING_RATE)
@@ -81,10 +78,9 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
     use_miss = missings is not None
     shared_streams = mode == "alpha"
 
-    def replica_loss(pf, x_b, m_b, mp_b, k_model, epoch, alpha):
+    def replica_loss(p, x_b, m_b, mp_b, k_model, epoch, alpha):
         c = cfg.replace(alpha=alpha) if use_alpha else cfg
-        return model.train_loss(unravel(pf), x_b, m_b, mp_b, k_model, epoch,
-                                c)[0]
+        return model.train_loss(p, x_b, m_b, mp_b, k_model, epoch, c)[0]
 
     # vmap in_axes: batch/mask/keys are per-replica except in alpha mode,
     # where replicas deliberately share every stream but alpha itself —
@@ -94,8 +90,8 @@ def _make_ensemble_chunk(cfg: RunConfig, model, unravel, data, mask, *,
     mask_ax = 0 if (not shared_streams or use_miss) else None
     loss_axes = (0, ax, mask_ax, mask_ax, ax, None, 0 if use_alpha else None)
 
-    def total_loss(Pmat, x_b, m_b, mp_b, k_models, epoch, alpha_v):
-        per = jax.vmap(replica_loss, loss_axes)(Pmat, x_b, m_b, mp_b,
+    def total_loss(Pens, x_b, m_b, mp_b, k_models, epoch, alpha_v):
+        per = jax.vmap(replica_loss, loss_axes)(Pens, x_b, m_b, mp_b,
                                                 k_models, epoch, alpha_v)
         return jnp.sum(per), per
 
@@ -214,17 +210,17 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs):
     return Pmat, np.concatenate(history, axis=0).T  # [S, epochs]
 
 
-def shard_ensemble(Pmat, opt_state, mesh):
-    """Lay an ensemble's [S, P] state out over the mesh's `dp` axis.
+def shard_ensemble(params_ens, opt_state, mesh):
+    """Lay an ensemble's stacked state out over the mesh's `dp` axis.
 
-    The flat-matrix design makes replica parallelism trivial: replicas are
-    rows, rows shard across chips, and because replicas never communicate
-    XLA partitions the whole chunk program with zero collectives. Shared
-    (data, mask) stay replicated. Requires S % dp == 0."""
+    Every leaf's leading [S] replica axis shards across chips; replicas
+    never communicate, so XLA partitions the whole chunk program with zero
+    collectives. Shared (data, mask) stay replicated. Requires S % dp == 0.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     dp = mesh.shape["dp"]
-    S = Pmat.shape[0]
+    S = jax.tree_util.tree_leaves(params_ens)[0].shape[0]
     if S % dp != 0:
         raise ValueError(f"ensemble size {S} not divisible by dp={dp}")
 
@@ -232,22 +228,28 @@ def shard_ensemble(Pmat, opt_state, mesh):
         spec = P(*(("dp",) + (None,) * (a.ndim - 1)))
         return jax.device_put(a, NamedSharding(mesh, spec))
 
-    return shard(Pmat), jax.tree_util.tree_map(
-        lambda a: shard(a) if getattr(a, "ndim", 0) >= 1
-        and a.shape[:1] == (S,) else a,
-        opt_state,
-    )
+    def maybe_shard(a):
+        return (shard(a) if getattr(a, "ndim", 0) >= 1
+                and a.shape[:1] == (S,) else a)
+
+    return (jax.tree_util.tree_map(shard, params_ens),
+            jax.tree_util.tree_map(maybe_shard, opt_state))
+
+
+def _take_rows(params_ens, S: int):
+    """First S replica rows of a stacked-pytree ensemble."""
+    return jax.tree_util.tree_map(lambda leaf: leaf[:S], params_ens)
 
 
 def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
     """Compile the n_seeds-replica chunk runner; returns
-    (run_chunk, Pmat, opt_state, unravel) with Pmat the [S, P] flat
-    ensemble and unravel the per-row flat->pytree view.
-    run_chunk(Pmat, opt_state, epoch0, n_epochs) -> (Pmat, opt_state,
-    losses [n_epochs, n_seeds]). Exposed separately so benchmarks can
-    time/cost-analyze the compiled program directly (bench.py ensemble
-    regime). With `mesh`, the replica axis shards over the mesh's `dp`
-    axis (see shard_ensemble)."""
+    (run_chunk, params_ens, opt_state) with params_ens the stacked pytree
+    (leading [S] axis on every leaf).
+    run_chunk(params_ens, opt_state, epoch0, n_epochs) -> (params_ens,
+    opt_state, losses [n_epochs, n_seeds]). Exposed separately so
+    benchmarks can time/cost-analyze the compiled program directly
+    (bench.py ensemble regime). With `mesh`, the replica axis shards over
+    the mesh's `dp` axis (see shard_ensemble)."""
     model = get_model(cfg)
     seeds = list(seeds)
     S = len(seeds)
@@ -259,16 +261,15 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
         seeds = seeds + [seeds[-1]] * ((-S) % dp)
     seeds = jnp.asarray(seeds, jnp.uint32)
     init_keys = jax.vmap(jax.random.PRNGKey)(seeds)
-    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
-                                        init_keys)
+    params_ens = _stacked_init(model, cfg, dataset.obs_dim, init_keys)
     run_chunk = _make_ensemble_chunk(
-        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        cfg, model, dataset.train.x, dataset.train.mask,
         mode="seed", S=len(seeds), seeds=seeds)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = tx.init(Pmat)
+    opt_state = tx.init(params_ens)
     if mesh is not None:
-        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    return run_chunk, Pmat, opt_state, unravel
+        params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    return run_chunk, params_ens, opt_state
 
 
 def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
@@ -283,11 +284,11 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     """
     seeds = list(seeds)  # normalize once — the sequence is consumed twice
     S = len(seeds)
-    run_chunk, Pmat, opt_state, unravel = build_seed_ensemble_runner(
+    run_chunk, params_ens, opt_state = build_seed_ensemble_runner(
         dataset, cfg, seeds, mesh=mesh)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
-                              chunk_epochs)
-    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
+    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
+                                    cfg.epoch, chunk_epochs)
+    return _take_rows(params_ens, S), hist[:S]
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
@@ -354,18 +355,18 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
                     for i in range(S_run)])
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.PRNGKey(cfg.seed), jnp.arange(S_run))
-    Pmat, unravel = _flat_ensemble_init(model, cfg, xs.shape[2], init_keys)
-    run_chunk = _make_ensemble_chunk(cfg, model, unravel, xs, ms,
+    params_ens = _stacked_init(model, cfg, xs.shape[2], init_keys)
+    run_chunk = _make_ensemble_chunk(cfg, model, xs, ms,
                                      mode="split", S=S_run)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = tx.init(Pmat)
+    opt_state = tx.init(params_ens)
     if mesh is not None:
         # state shards by replica row; the stacked (xs, ms) tables are traced
         # constants whose layout XLA chooses to match the sharded program
-        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
-                              chunk_epochs)
-    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
+        params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
+                                    cfg.epoch, chunk_epochs)
+    return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
@@ -393,19 +394,18 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     S_run = len(alphas)
     init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
         jax.random.PRNGKey(seed), jnp.arange(S_run))
-    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
-                                        init_keys)
+    params_ens = _stacked_init(model, cfg, dataset.obs_dim, init_keys)
     cfg_seeded = cfg.replace(seed=seed)
     run_chunk = _make_ensemble_chunk(
-        cfg_seeded, model, unravel, dataset.train.x, dataset.train.mask,
+        cfg_seeded, model, dataset.train.x, dataset.train.mask,
         mode="alpha", S=S_run, alphas=alphas_v)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = tx.init(Pmat)
+    opt_state = tx.init(params_ens)
     if mesh is not None:
-        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
-                              chunk_epochs)
-    return jax.vmap(unravel)(Pmat[:S]), hist[:S]
+        params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
+                                    cfg.epoch, chunk_epochs)
+    return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
@@ -431,18 +431,17 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     row_alphas = jnp.asarray([a for a, _ in rows], jnp.float32)
     row_seeds = jnp.asarray([sd for _, sd in rows], jnp.uint32)
     init_keys = jax.vmap(jax.random.PRNGKey)(row_seeds)
-    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
-                                        init_keys)
+    params_ens = _stacked_init(model, cfg, dataset.obs_dim, init_keys)
     run_chunk = _make_ensemble_chunk(
-        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        cfg, model, dataset.train.x, dataset.train.mask,
         mode="seed", S=len(rows), seeds=row_seeds, alphas=row_alphas)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = tx.init(Pmat)
+    opt_state = tx.init(params_ens)
     if mesh is not None:
-        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
-                              chunk_epochs)
-    return jax.vmap(unravel)(Pmat[:R]), hist[:R]
+        params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
+                                    cfg.epoch, chunk_epochs)
+    return _take_rows(params_ens, R), hist[:R]
 
 
 def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
@@ -509,19 +508,18 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
         init_keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(cfg.seed), jnp.arange(len(run_rows)))
         mode = "alpha"
-    Pmat, unravel = _flat_ensemble_init(model, cfg, dataset.obs_dim,
-                                        init_keys)
+    params_ens = _stacked_init(model, cfg, dataset.obs_dim, init_keys)
     run_chunk = _make_ensemble_chunk(
-        cfg, model, unravel, dataset.train.x, dataset.train.mask,
+        cfg, model, dataset.train.x, dataset.train.mask,
         mode=mode, S=len(run_rows), seeds=row_seeds, alphas=row_alphas,
         missings=row_miss)
     tx = optax.adam(LEARNING_RATE)
-    opt_state = tx.init(Pmat)
+    opt_state = tx.init(params_ens)
     if mesh is not None:
-        Pmat, opt_state = shard_ensemble(Pmat, opt_state, mesh)
-    Pmat, hist = _run_chunked(run_chunk, Pmat, opt_state, cfg.epoch,
-                              chunk_epochs)
-    return jax.vmap(unravel)(Pmat[:R]), hist[:R], rows
+        params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
+                                    cfg.epoch, chunk_epochs)
+    return _take_rows(params_ens, R), hist[:R], rows
 
 
 def ensemble_replica(params, i):
