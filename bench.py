@@ -275,10 +275,10 @@ def main():
     # ensemble regime: the same flagship config trained as a 128-seed vmapped
     # ensemble (parallel/sweep.py) — the sweep-parallel execution mode that
     # actually loads the MXU (tools/bench_scaling.py has the batch sweep).
-    # 128 replicas ~ the production sweep size (39 configs x 4 seeds); the
-    # replica-count sweep measured 2026-08-17 plateaus here (32: 28.3M, 64:
-    # 28.6M, 128: 33.2M, 256: 33.6M, 512: 25.3M samples/s — the batch-64
-    # 12-dim inner matmuls bound the regime, not replica count)
+    # 128 replicas ~ the production sweep size (39 configs x 4 seeds) AND
+    # the measured knee of the round-4 replica x batch saturation map
+    # (tools/bench_ensemble_sweep.py; RESULTS.md — throughput ROLLS OVER
+    # past S~256 at batch 64, and raising batch beats raising replicas)
     ens_n = 128
     ens_sps = _bench_seed_ensemble(n_seeds=ens_n)
     ens_tflops = ens_sps * fps / 1e12
