@@ -281,3 +281,36 @@ def test_runner_cache_bypassed_for_custom_model(dataset):
     # cache neither consulted (r2 got its own program) nor poisoned
     assert _RUNNER_CACHE[key] is cached_entry
     assert r2.run_chunk is not r1.run_chunk
+
+
+def test_eval_task_grouping_is_value_invariant(dataset):
+    """The grouped-vmap evaluator (round 4: the M x steps (rep, batch)
+    tasks run G per dispatch) must be bit-identical for EVERY group size —
+    including ones that split the task list unevenly (pad tasks recompute
+    task 0 and are sliced off). Pins the restructure's exactness claim
+    beyond the goldens' single default shape."""
+    import jax.numpy as jnp
+
+    from vae_posterior_consistency_tpu.engine.evaluate import (
+        _split_eval_fns,
+    )
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = _cfg(vae_type="vanilla_vae1", batch_size=16, M=3)
+    model = get_model(cfg)
+    sp = dataset.train
+    params = model.init(jax.random.PRNGKey(0), cfg, sp.x.shape[1])
+    keys = jax.vmap(lambda m: jax.random.fold_in(jax.random.PRNGKey(7), m))(
+        jnp.arange(cfg.M))
+
+    # one-group baseline (default budget covers everything) vs tiny budgets
+    # that force multi-group execution with a ragged final group
+    base_fn, _ = _split_eval_fns(cfg, model, sp.n, None)
+    base = jax.device_get(base_fn(params, sp.x, sp.mask, keys))
+    for budget in (cfg.batch_size, 2 * cfg.batch_size):
+        fn, _ = _split_eval_fns(cfg, model, sp.n, None, row_budget=budget)
+        out = jax.device_get(fn(params, sp.x, sp.mask, keys))
+        for k in base:
+            np.testing.assert_array_equal(np.asarray(out[k]),
+                                          np.asarray(base[k]),
+                                          err_msg=f"{k} @ budget {budget}")
