@@ -103,40 +103,40 @@ def _mnist_setup(batch: int, compute_dtype: str):
     params = model.init(jax.random.PRNGKey(0), cfg, MNIST_DIM)
     runner = _build_epoch_runner(cfg, data, mask, model,
                                  template_params=params)
-    pflat = runner.to_flat(params)
-    return runner, pflat, runner.tx.init(pflat)
+    return runner, params, runner.tx.init(params)
 
 
-def _timed_chunks(runner, pflat, opt_state, epochs, reps: int = 3,
+def _timed_chunks(runner, params, opt_state, epochs, reps: int = 3,
                   start_epoch: int = 0):
     """The one measurement protocol (CLAUDE.md axon quirks): readback-synced
     barriers, the epoch counter varies per rep so client-side dedup can't
-    fake ~0 ms, best of `reps`. Assumes the (pflat, opt_state) shapes were
+    fake ~0 ms, best of `reps`. Assumes the (params, opt_state) shapes were
     already warmed at this chunk size. Returns (best_seconds, state...)."""
     key = jax.random.PRNGKey(1)
     best, done = None, start_epoch
     for _ in range(reps):
         t0 = time.perf_counter()
-        pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                          jnp.asarray(done), epochs)
+        params, opt_state, losses = runner(params, opt_state, key,
+                                           jnp.asarray(done), epochs)
         float(losses[-1])  # readback barrier
         dt = time.perf_counter() - t0
         done += epochs
         best = dt if best is None else min(best, dt)
-    return best, pflat, opt_state, float(losses[-1])
+    return best, params, opt_state, float(losses[-1])
 
 
 def _bench_mnist(batch: int, compute_dtype: str, epochs: int = MNIST_EPOCHS):
     """MNIST-EDDI training regime, one sweep point: returns
     (samples/s, compile+warmup seconds, final loss). The ONE definition of
     this regime's warmup + timing; tools/bench_mnist.py consumes it too."""
-    runner, pflat, opt_state = _mnist_setup(batch, compute_dtype)
+    runner, params, opt_state = _mnist_setup(batch, compute_dtype)
     t0 = time.perf_counter()
-    pflat, opt_state, losses = runner(pflat, opt_state, jax.random.PRNGKey(1),
-                                      jnp.asarray(0), epochs)
+    params, opt_state, losses = runner(params, opt_state,
+                                       jax.random.PRNGKey(1),
+                                       jnp.asarray(0), epochs)
     float(losses[-1])  # compile + warmup readback (axon quirk — see main())
     t_compile = time.perf_counter() - t0
-    best, _, _, loss = _timed_chunks(runner, pflat, opt_state, epochs,
+    best, _, _, loss = _timed_chunks(runner, params, opt_state, epochs,
                                      start_epoch=epochs)
     return epochs * MNIST_ROWS / best, t_compile, loss
 
@@ -233,8 +233,7 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0), cfg, OBS_DIM)
     runner = _build_epoch_runner(cfg, data, mask, model, template_params=params)
-    pflat = runner.to_flat(params)
-    opt_state = runner.tx.init(pflat)
+    opt_state = runner.tx.init(params)
     key = jax.random.PRNGKey(1)
 
     # compile + warmup with the SAME static chunk size as the timed call
@@ -243,15 +242,15 @@ def main():
     # Sync via a real readback: through the tunneled TPU, block_until_ready
     # can return early while the compile is still in flight, which once
     # produced a nonsensical 8.8e9 samples/s reading (CLAUDE.md axon quirks)
-    pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                      jnp.asarray(0), BENCH_EPOCHS)
+    params, opt_state, losses = runner(params, opt_state, key,
+                                       jnp.asarray(0), BENCH_EPOCHS)
     float(losses[-1])
 
     # _timed_chunks IS the measurement protocol (epoch counter varied per
     # rep, readback barriers, best-of-3) — one definition, no drift
-    best, pflat, opt_state, _ = _timed_chunks(runner, pflat, opt_state,
-                                              BENCH_EPOCHS,
-                                              start_epoch=BENCH_EPOCHS)
+    best, params, opt_state, _ = _timed_chunks(runner, params, opt_state,
+                                               BENCH_EPOCHS,
+                                               start_epoch=BENCH_EPOCHS)
 
     samples_per_sec = BENCH_EPOCHS * N_ROWS / best
 

@@ -101,16 +101,28 @@ def _train_and_eval_one(dataset, cfg, mesh):
 def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds):
     """`-seeds N` on the serial (non-ensemble) grid: the N seed replicas of
     ONE config train as a single seed-ensemble program
-    (parallel/sweep.train_seed_ensemble — replica 0 reproduces the plain
-    run's PRNG streams) and evaluate as one vmapped program. Seed 0 keeps
-    the reference checkpoint/artifact contract; extra seeds save under
-    `.seed{s}` suffixes — the same convention as every other entry point.
+    (parallel/sweep.train_seed_ensemble) and evaluate as one vmapped
+    program. Seed 0 keeps the reference checkpoint/artifact PATHS; extra
+    seeds save under `.seed{s}` suffixes — the same convention as every
+    other entry point.
+
+    PRNG-stream deviation (PARITY.md deviation #8, serial-grid case): the
+    seed ensemble derives replica s's init from PRNGKey(seed+s) and its
+    epoch keys via fold_in, while a plain (no `-seeds`) run splits
+    PRNGKey(cfg.seed) — so the seed-0 checkpoint/artifacts this path writes
+    are statistically equivalent to, but NOT reproductions of, the plain
+    run's (they overwrite the same files). The banner below flags it, same
+    as the ensemble path's.
     Returns {stage: {metric: (mean, std)}}."""
     import jax as _jax
 
     from vae_posterior_consistency_tpu.engine import checkpoint
     from vae_posterior_consistency_tpu.parallel import sweep
 
+    print("[seeds mode] seed replicas run as one vmapped program; PRNG "
+          "streams differ from the plain serial run — seed-0 artifacts are "
+          "statistically equivalent, not reproductions (PARITY.md deviation "
+          "#8)", flush=True)
     seeds = [cfg.seed + si for si in range(n_seeds)]
     params_ens, _hist = sweep.train_seed_ensemble(dataset, cfg, seeds,
                                                   mesh=mesh)

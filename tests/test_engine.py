@@ -242,19 +242,18 @@ def test_early_stopping_objective_is_epoch_fixed(dataset):
     params = model.init(jax.random.PRNGKey(0), cfg, dataset.obs_dim)
     runner = _build_epoch_runner(cfg, sp.x, sp.mask, model,
                                  template_params=params)
-    pflat = runner.to_flat(params)
     key = jax.random.PRNGKey(3)
 
-    val_fn = _build_val_fn(cfg, model, runner.to_tree, sp.x, sp.mask)
-    v1 = float(val_fn(pflat, key))
-    v2 = float(val_fn(pflat, key))  # a later check: identical objective
+    val_fn = _build_val_fn(cfg, model, sp.x, sp.mask)
+    v1 = float(val_fn(params, key))
+    v2 = float(val_fn(params, key))  # a later check: identical objective
     assert v1 == v2
 
     # the objective genuinely depends on the (fixed) epoch: a different
     # cfg.epoch yields a different value for the same params
     cfg2 = cfg.replace(epoch=2500)
-    val_fn2 = _build_val_fn(cfg2, model, runner.to_tree, sp.x, sp.mask)
-    assert float(val_fn2(pflat, key)) != v1
+    val_fn2 = _build_val_fn(cfg2, model, sp.x, sp.mask)
+    assert float(val_fn2(params, key)) != v1
 
 
 def test_runner_cache_bypassed_for_custom_model(dataset):
@@ -287,7 +286,8 @@ def test_eval_task_grouping_is_value_invariant(dataset):
     """The grouped-vmap evaluator (round 4: the M x steps (rep, batch)
     tasks run G per dispatch) must be bit-identical for EVERY group size —
     including ones that split the task list unevenly (pad tasks recompute
-    task 0 and are sliced off). Pins the restructure's exactness claim
+    the last task, n_tasks-1, and are sliced off). Pins the restructure's
+    exactness claim
     beyond the goldens' single default shape."""
     import jax.numpy as jnp
 

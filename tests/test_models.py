@@ -338,8 +338,7 @@ def test_compute_dtype_bfloat16_trains_equivalently():
         params = model.init(jax.random.PRNGKey(0), cfg, 20)
         runner = _build_epoch_runner(cfg, data, mask, model,
                                      template_params=params)
-        pflat = runner.to_flat(params)
-        _, _, losses = runner(pflat, runner.tx.init(pflat),
+        _, _, losses = runner(params, runner.tx.init(params),
                               jax.random.PRNGKey(1), jnp.asarray(0), 15)
         hist[dt] = np.asarray(losses)
     assert np.isfinite(hist["bfloat16"]).all()

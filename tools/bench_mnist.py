@@ -69,14 +69,14 @@ def main():
         # trace the steady-state best configuration
         batch, dtype = max(results, key=lambda r: r[3])[:2]
         print(f"tracing batch={batch} dtype={dtype} -> {profile_dir}")
-        runner, pflat, opt_state = _mnist_setup(batch, dtype)
+        runner, params, opt_state = _mnist_setup(batch, dtype)
         key = jax.random.PRNGKey(1)
-        pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                          jnp.asarray(0), 30)
+        params, opt_state, losses = runner(params, opt_state, key,
+                                           jnp.asarray(0), 30)
         float(losses[-1])
         jax.profiler.start_trace(profile_dir)
-        pflat, opt_state, losses = runner(pflat, opt_state, key,
-                                          jnp.asarray(30), 30)
+        params, opt_state, losses = runner(params, opt_state, key,
+                                           jnp.asarray(30), 30)
         float(losses[-1])
         jax.profiler.stop_trace()
         print("trace written")

@@ -238,14 +238,13 @@ def make_engine(cfg, model, data, mask, params):
 
     runner = _build_epoch_runner(cfg, data, mask, model,
                                  template_params=params)
-    pflat = runner.to_flat(params)
 
     def run(state, key, epoch0, n_epochs):
-        pf, opt = state
-        pf, opt, losses = runner(pf, opt, key, epoch0, n_epochs)
-        return (pf, opt), losses
+        p, opt = state
+        p, opt, losses = runner(p, opt, key, epoch0, n_epochs)
+        return (p, opt), losses
 
-    return run, (pflat, runner.tx.init(pflat))
+    return run, (params, runner.tx.init(params))
 
 
 VARIANTS = {

@@ -239,6 +239,8 @@ class RunConfig:
     # certifies it). The flow family's obs_logvar=-8 likelihood is a much
     # harder bridge — raise n_ais_dist to >=1000 there (2.5-nat gap
     # measured at sigmoidal T=1000; ais_eval.py -bdmc true reports it).
+    # eval_ais warns at runtime when a flow checkpoint runs on a
+    # sub-certified default (engine/ais.default_schedule).
     ais_schedule: str = "sigmoidal"
     n_ais_dist: int = 500
     num_estimates: int = 100

@@ -165,6 +165,39 @@ def bridge_for(cfg: RunConfig) -> BridgeLik:
     return _BRIDGES[(model.name,)]
 
 
+#: flow-family bridge floor: the BDMC study measured a ~2.5-nat sandwich gap
+#: at sigmoidal T=1000 for the flow checkpoints' obs_logvar=-8 likelihood
+#: (RESULTS.md "AIS/BDMC schedule certification"), so the Gaussian-certified
+#: default T=500 is known-loose there
+FLOW_MIN_AIS_DIST = 1000
+
+
+def default_schedule(cfg: RunConfig, bridge: BridgeLik | None = None,
+                     warn: bool = True):
+    """cfg's (ais_schedule, n_ais_dist) bridge schedule.
+
+    The T=500 sigmoidal default is BDMC-certified only for Gaussian-decoder
+    checkpoints (<0.01-nat sandwich gap); the flow family's obs_logvar=-8
+    likelihood is a much harder bridge (~2.5 nats at T=1000). When a flow
+    checkpoint would silently run on a sub-certified temperature count, warn
+    loudly (ADVICE r4 #2) — pass an explicit `schedule` (or raise
+    -n_ais_dist) to size the bridge deliberately; `ais_eval.py -bdmc true`
+    measures the actual gap."""
+    if (warn and bridge is not None and bridge.family == "flow"
+            and cfg.n_ais_dist < FLOW_MIN_AIS_DIST):
+        print(
+            f"[ais] WARNING: flow-family checkpoint on the default "
+            f"{cfg.ais_schedule} T={cfg.n_ais_dist} bridge — certified only "
+            f"for Gaussian decoders; the flow likelihood measured a ~2.5-nat "
+            f"BDMC gap even at T=1000. Raise -n_ais_dist to >= "
+            f"{FLOW_MIN_AIS_DIST} (and run ais_eval.py -bdmc true to "
+            "measure the remaining gap).",
+            flush=True,
+        )
+    return (linear_schedule(cfg.n_ais_dist) if cfg.ais_schedule == "linear"
+            else sigmoidial_schedule(cfg.n_ais_dist))
+
+
 @dataclasses.dataclass
 class AISResult:
     logw: float  # mean log marginal-likelihood estimate
@@ -429,11 +462,7 @@ def eval_ais(dataset, cfg: RunConfig, params=None, schedule=None,
     if params is None:
         params = load_trained(dataset, cfg, experiments_root)
     if schedule is None:
-        schedule = (
-            linear_schedule(cfg.n_ais_dist)
-            if cfg.ais_schedule == "linear"
-            else sigmoidial_schedule(cfg.n_ais_dist)
-        )
+        schedule = default_schedule(cfg, bridge)
     key = jax.random.PRNGKey(cfg.seed + 4) if key is None else key
 
     log_lik_fn = functools.partial(bridge.log_lik, params)
@@ -490,11 +519,7 @@ def eval_ais_ensemble(dataset, cfg: RunConfig, params_ens, schedule=None,
 
     bridge = bridge_for(cfg)
     if schedule is None:
-        schedule = (
-            linear_schedule(cfg.n_ais_dist)
-            if cfg.ais_schedule == "linear"
-            else sigmoidial_schedule(cfg.n_ais_dist)
-        )
+        schedule = default_schedule(cfg, bridge)
     key = jax.random.PRNGKey(cfg.seed + 4) if key is None else key
 
     results = {}
@@ -561,11 +586,8 @@ def eval_bdmc(dataset, cfg: RunConfig, params=None, schedule=None,
     if params is None:
         params = load_trained(dataset, cfg, experiments_root)
     if schedule is None:
-        schedule = (
-            linear_schedule(cfg.n_ais_dist)
-            if cfg.ais_schedule == "linear"
-            else sigmoidial_schedule(cfg.n_ais_dist)
-        )
+        # no warning: BDMC is the tool that MEASURES the gap
+        schedule = default_schedule(cfg, bridge, warn=False)
     if n_batch is None:
         n_batch = min(cfg.batch_size, dataset.test.x.shape[0]
                       if dataset.test is not None else cfg.batch_size)

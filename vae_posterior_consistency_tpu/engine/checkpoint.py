@@ -102,6 +102,50 @@ def load(template_params, path: str):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_resume(params, opt_state, epoch: int, path: str) -> None:
+    """Write mid-training restart state — (params, optimizer state, epochs
+    done) — in one atomic-enough `.resume.pt` file. ONE contract for every
+    engine: the serial runner (engine/train.train), the stacked-pytree
+    ensembles (parallel/sweep) and the sharded loop
+    (parallel/train_parallel.train_sharded) all write this layout, so a run
+    killed mid-flight resumes bit-identically regardless of which engine
+    produced the file (the reference can only save at the END of training —
+    src/experiment_main/train.py:120-131; restartability intent:
+    src/utils/pytorchtools.py:51-58).
+
+    The write goes to `path + '.tmp'` first and renames into place: a crash
+    DURING checkpointing must not destroy the previous good resume file."""
+    import os
+
+    import jax.numpy as jnp
+
+    tmp = path + ".tmp"
+    save({"params": params, "opt_state": opt_state,
+          "epoch": jnp.asarray(epoch, jnp.int32)}, tmp)
+    os.replace(tmp, path)
+
+
+def load_resume(template_params, template_opt_state, path: str):
+    """Read a `save_resume` file back into (params, opt_state, epochs_done),
+    shaped like the given templates. Raises RuntimeError with a recovery
+    hint when the file's layout does not match this engine (e.g. written
+    before the pytree-runner migration, or by a different config/shape)."""
+    import jax.numpy as jnp
+
+    template = {"params": template_params, "opt_state": template_opt_state,
+                "epoch": jnp.zeros((), jnp.int32)}
+    try:
+        state = load(template, path)
+    except Exception as e:
+        raise RuntimeError(
+            f"cannot resume from {path}: its layout does not match this "
+            "engine/config (files written before the pytree-runner "
+            "migration stored a flat vector under a 'pflat' key). Delete "
+            "the .resume.pt to restart from scratch."
+        ) from e
+    return state["params"], state["opt_state"], int(state["epoch"])
+
+
 def seed_suffix(s: int) -> str:
     """Artifact suffix for seed replica s: '' for seed 0 (which keeps the
     reference artifact contract), '.seed{s}' for the extra replicas written

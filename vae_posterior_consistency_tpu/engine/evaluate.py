@@ -127,8 +127,9 @@ def _split_eval_fns(cfg: RunConfig, model, n: int, num_samples,
 
         n_tasks = M * steps
         n_groups = -(-n_tasks // G)
-        # pad the task list to whole groups (pad tasks recompute task 0 and
-        # are sliced off before aggregation)
+        # pad the task list to whole groups (the jnp.minimum clamp makes pad
+        # tasks recompute the LAST task, n_tasks-1; their outputs are sliced
+        # off before aggregation)
         def group_body(g):
             return jax.vmap(per_task)(
                 jnp.minimum(g * G + jnp.arange(G), n_tasks - 1))

@@ -44,9 +44,10 @@ def mutual_information(params, x, mask, cfg: RunConfig):
         raise NotImplementedError(
             "mutual_information needs a Gaussian-posterior family"
         )
+    # every family's encode_stats contract is [B, L] (registry.ModelDef;
+    # the MIWAE hook already collapses its scale head there) — no sample
+    # axis ever reaches this point
     mean, logvar = model.encode_stats(params, x, mask, cfg)
-    if mean.ndim == 3:  # MIWAE-style [B, K, L] tiling
-        mean, logvar = mean[:, 0, :], logvar[:, 0, :]
     KL_q = kl_diag_std(mean, logvar)
     agg_mean = jnp.mean(mean, axis=0)
     agg_logvar = jnp.mean(logvar, axis=0)
@@ -80,9 +81,7 @@ def mutual_information_kde(params, x, mask, cfg: RunConfig, key=None):
             "mutual_information_kde needs a Gaussian-posterior family"
         )
     key = jax.random.PRNGKey(cfg.seed + 6) if key is None else key
-    mean, logvar = model.encode_stats(params, x, mask, cfg)
-    if mean.ndim == 3:  # MIWAE-style [B, K, L] tiling
-        mean, logvar = mean[:, 0, :], logvar[:, 0, :]
+    mean, logvar = model.encode_stats(params, x, mask, cfg)  # [B, L] each
     z = reparameterize(key, mean, logvar)  # [B, L], one sample per row
     log_q = jnp.sum(normal_logpdf(z, mean, logvar), axis=-1)
     log_q_agg = gaussian_kde_log_eval(z, z, loo=True)

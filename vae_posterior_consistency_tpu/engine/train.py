@@ -201,21 +201,13 @@ def _build_epoch_runner(cfg: RunConfig, data: jax.Array, mask: jax.Array,
     return Runner(run_chunk, tx, data, mask)
 
 
-def _identity(p):
-    return p
-
-
 class Runner:
     """Chunk runner over pytree parameters.
 
     Holds this run's (data, mask) and feeds them to the shared compiled
-    chunk program as runtime arguments (see _RUNNER_CACHE). to_flat/to_tree
-    are identity hooks kept from the retired flat-vector design so callers
-    (bench.py, tests) are layout-agnostic."""
-
-    #: parameter-layout hooks — identity since the pytree re-measurement
-    to_flat = staticmethod(_identity)
-    to_tree = staticmethod(_identity)
+    chunk program as runtime arguments (see _RUNNER_CACHE). Params are a
+    PYTREE end-to-end — the round-1 flat-vector layout was retired after the
+    round-4 re-measurement (module docstring of _build_epoch_runner)."""
 
     def __init__(self, run_chunk, tx, data, mask):
         self.run_chunk = run_chunk
@@ -228,11 +220,7 @@ class Runner:
                               epoch0, n_epochs)
 
 
-#: retired name (the flat-vector runner) — same interface, pytree layout
-FlatRunner = Runner
-
-
-def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
+def _build_val_fn(cfg: RunConfig, model, x, mask):
     """Compile a full-split validation objective for early stopping.
 
     Same per-batch mask dispatch as the training step, evaluated without
@@ -251,10 +239,10 @@ def _build_val_fn(cfg: RunConfig, model, unravel, x, mask):
     fixed_epoch = jnp.float32(cfg.epoch)
 
     @jax.jit
-    def val_loss(pflat, key):
+    def val_loss(params, key):
         k_mask, k_model = jax.random.split(key)
         eff_mask, mask_p = masks.train_masks(info, cfg, k_mask, mask)
-        return model.train_loss(unravel(pflat), x, eff_mask, mask_p, k_model,
+        return model.train_loss(params, x, eff_mask, mask_p, k_model,
                                 fixed_epoch, cfg)[0]
 
     return val_loss
@@ -301,63 +289,42 @@ def train(
     split: Split = dataset.train
     runner = _build_epoch_runner(cfg, split.x, split.mask, model,
                                  template_params=params)
-    pflat = runner.to_flat(params)  # identity since the pytree runner
-    opt_state = runner.tx.init(pflat)
+    opt_state = runner.tx.init(params)
 
     val_fn = None
     if early_stopping is not None:
         vsplit = dataset.test if dataset.test is not None else dataset.train
-        val_fn = _build_val_fn(cfg, model, runner.to_tree, vsplit.x,
-                               vsplit.mask)
+        val_fn = _build_val_fn(cfg, model, vsplit.x, vsplit.mask)
         k_val = jax.random.fold_in(k_run, 0x5A11D)  # fixed across checks
 
     final_path = checkpoint.checkpoint_path(cfg, experiments_root)
     resume_path = final_path + ".resume.pt"
     done = 0
     if resume and os.path.exists(resume_path):
-        try:
-            state = checkpoint.load(
-                {"pflat": pflat, "opt_state": opt_state,
-                 "epoch": jnp.zeros((), jnp.int32)},
-                resume_path,
-            )
-        except Exception as e:
-            raise RuntimeError(
-                f"cannot resume from {resume_path}: its layout does not "
-                "match this engine (files written before the pytree-runner "
-                "migration stored a flat vector). Delete the .resume.pt to "
-                "restart from scratch."
-            ) from e
-        pflat, opt_state = state["pflat"], state["opt_state"]
-        done = int(state["epoch"])
+        params, opt_state, done = checkpoint.load_resume(
+            params, opt_state, resume_path)
 
     history = []
     while done < cfg.epoch:
         n_e = min(chunk_epochs, cfg.epoch - done)
         if checkpoint_every:
             n_e = min(n_e, checkpoint_every - done % checkpoint_every)
-        pflat, opt_state, losses = runner(
-            pflat, opt_state, k_run, jnp.asarray(done), n_e
+        params, opt_state, losses = runner(
+            params, opt_state, k_run, jnp.asarray(done), n_e
         )
         history.extend(jax.device_get(losses).tolist())
         done += n_e
         if checkpoint_every and done % checkpoint_every == 0:
-            checkpoint.save(
-                {"pflat": pflat, "opt_state": opt_state,
-                 "epoch": jnp.asarray(done, jnp.int32)},
-                resume_path,
-            )
+            checkpoint.save_resume(params, opt_state, done, resume_path)
         if log_fn is not None:
             log_fn(done, history[-1])
         if val_fn is not None:
-            vloss = float(val_fn(pflat, k_val))
+            vloss = float(val_fn(params, k_val))
             # snapshot to host: the live arrays are DONATED to the next
             # chunk call, which would delete a stored device reference
-            if early_stopping.update(vloss,
-                                     jax.device_get(runner.to_tree(pflat))):
+            if early_stopping.update(vloss, jax.device_get(params)):
                 break
 
-    params = runner.to_tree(pflat)
     if early_stopping is not None and early_stopping.best_params is not None:
         params = early_stopping.best_params
     if save:

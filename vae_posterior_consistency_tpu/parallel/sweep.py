@@ -315,7 +315,9 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     RAGGED splits (reference-provided train_index CSVs carry no equal-size
     guarantee, src/utils/loaders.py:322-326): smaller splits wrap-pad to the
     group's max row count (row j of a padded table is the split's row
-    j mod n_i — uniform oversampling of REAL rows), so every replica takes
+    j mod n_i — near-uniform oversampling of REAL rows: whenever n_max is
+    not a multiple of n_i, the first n_max mod n_i rows get one extra copy
+    per epoch), so every replica takes
     ceil(n_max/bsz) full-batch optimizer steps per epoch. This is the same
     convention the engines already use for the last batch of one epoch
     (perm[:pad] wrap below; parallel/train_parallel.py tiles the perm) — no

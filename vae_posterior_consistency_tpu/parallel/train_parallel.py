@@ -128,10 +128,11 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     the gradient psum over ICI. Returns (params, loss_history [epochs]).
 
     Deliberately specialized (not unified with engine/train._build_epoch_runner
-    or parallel/sweep's ensembles): the single-chip runner flattens params for
-    the fused Adam kernel, the ensembles add a vmapped leading axis, and this
-    loop threads shardings — one abstraction over all three would obscure each
-    one's layout contract.
+    or parallel/sweep's ensembles): all three engines run pytree params, but
+    the single-chip runner shares compiled programs across split digits via
+    its runner cache, the ensembles add a stacked leading [S] axis, and this
+    loop threads (dp, tp) shardings through every carry — one abstraction over
+    all three would obscure each one's layout contract.
     """
     import math
 
