@@ -197,17 +197,52 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
     return run_chunk
 
 
-def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs):
+def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
+                 resume_path=None, checkpoint_every=None, resume=False,
+                 shard_fn=None):
+    """Drive an ensemble chunk runner to `epochs`, optionally with the
+    serial engine's restart contract (engine/train.train): with
+    `checkpoint_every=N` the stacked (params, opt_state, epochs-done) state
+    writes to `resume_path` every N epochs (checkpoint.save_resume — one
+    atomic file for the WHOLE ensemble), and `resume=True` restarts from it.
+    Every per-epoch key derives from the ABSOLUTE epoch index (fold_in of
+    epoch0+off in _make_ensemble_chunk), so a resumed run is bit-identical
+    to an uninterrupted one regardless of where it was killed
+    (tests/test_parallel.py::test_ensemble_resume_bit_identical). `shard_fn`
+    re-applies the mesh layout to freshly-loaded host state (resume would
+    otherwise silently un-shard a dp-sharded ensemble). On resume, the
+    returned history covers only the epochs run in THIS process (same as
+    the serial engine)."""
+    import os
+
     import numpy as np
 
-    history, done = [], 0
+    from vae_posterior_consistency_tpu.engine import checkpoint
+
+    done = 0
+    if resume and resume_path and os.path.exists(resume_path):
+        Pmat, opt_state, done = checkpoint.load_resume(Pmat, opt_state,
+                                                       resume_path)
+        if shard_fn is not None:
+            Pmat, opt_state = shard_fn(Pmat, opt_state)
+    history = []
     while done < epochs:
         n_e = min(chunk_epochs, epochs - done)
+        if checkpoint_every:
+            n_e = min(n_e, checkpoint_every - done % checkpoint_every)
         Pmat, opt_state, hist = run_chunk(Pmat, opt_state, jnp.asarray(done),
                                           n_e)
         history.append(jax.device_get(hist))
         done += n_e
-    return Pmat, np.concatenate(history, axis=0).T  # [S, epochs]
+        if (checkpoint_every and resume_path
+                and done % checkpoint_every == 0):
+            # also written at the final boundary (serial-engine parity):
+            # a later run with a higher cfg.epoch resumes instead of
+            # retraining from scratch
+            checkpoint.save_resume(Pmat, opt_state, done, resume_path)
+    hist = (np.concatenate(history, axis=0).T if history
+            else np.zeros((jax.tree_util.tree_leaves(Pmat)[0].shape[0], 0)))
+    return Pmat, hist  # [S, epochs_run_here]
 
 
 def shard_ensemble(params_ens, opt_state, mesh):
@@ -234,6 +269,14 @@ def shard_ensemble(params_ens, opt_state, mesh):
 
     return (jax.tree_util.tree_map(shard, params_ens),
             jax.tree_util.tree_map(maybe_shard, opt_state))
+
+
+def _shard_fn(mesh):
+    """Resume re-sharding hook for _run_chunked: freshly-loaded host state
+    must be laid back out over the mesh's dp axis (None = single-chip)."""
+    if mesh is None:
+        return None
+    return lambda p, o: shard_ensemble(p, o, mesh)
 
 
 def _take_rows(params_ens, S: int):
@@ -273,7 +316,8 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
 
 
 def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
-                        mesh=None):
+                        mesh=None, checkpoint_every=None, resume=False,
+                        resume_path=None):
     """Train len(seeds) independent replicas of the same config in one program.
 
     Returns (ensemble_params pytree [S, ...], loss_history [n_seeds, epochs]).
@@ -286,13 +330,16 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     S = len(seeds)
     run_chunk, params_ens, opt_state = build_seed_ensemble_runner(
         dataset, cfg, seeds, mesh=mesh)
-    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
-                                    cfg.epoch, chunk_epochs)
+    params_ens, hist = _run_chunked(
+        run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
+        resume_path=resume_path, checkpoint_every=checkpoint_every,
+        resume=resume, shard_fn=_shard_fn(mesh))
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
-                         mesh=None, n_seeds: int = 1):
+                         mesh=None, n_seeds: int = 1, checkpoint_every=None,
+                         resume=False, resume_path=None):
     """Train one replica per DATA SPLIT of the same model family in a single
     batched program — the reference's `vae_type` digit axis
     (reg_vae1/2/3, serial records in Data/imputation_args.json, reference
@@ -366,13 +413,17 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
         # state shards by replica row; the stacked (xs, ms) tables are traced
         # constants whose layout XLA chooses to match the sharded program
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
-    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
-                                    cfg.epoch, chunk_epochs)
+    params_ens, hist = _run_chunked(
+        run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
+        resume_path=resume_path, checkpoint_every=checkpoint_every,
+        resume=resume, shard_fn=_shard_fn(mesh))
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
-                         chunk_epochs: int = 200, seed: int = 0, mesh=None):
+                         chunk_epochs: int = 200, seed: int = 0, mesh=None,
+                         checkpoint_every=None, resume=False,
+                         resume_path=None):
     """Train the reference's alpha sweep axis (serial Python loop at
     src/experiment_main/imputation.py:24) as ONE batched program: a replica
     per regularization strength. CLI surface: `imputation.py -ensemble true
@@ -405,13 +456,17 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
-    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
-                                    cfg.epoch, chunk_epochs)
+    params_ens, hist = _run_chunked(
+        run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
+        resume_path=resume_path, checkpoint_every=checkpoint_every,
+        resume=resume, shard_fn=_shard_fn(mesh))
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
-                              chunk_epochs: int = 200, mesh=None):
+                              chunk_epochs: int = 200, mesh=None,
+                              checkpoint_every=None, resume=False,
+                              resume_path=None):
     """Error-barred alpha sweep: the [n_alphas * n_seeds] replica rows hold
     (alpha a, seed s) at row a * n_seeds + i, trained as ONE program — the
     `-alphas` x `-seeds` CLI composition.
@@ -441,13 +496,17 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
-    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
-                                    cfg.epoch, chunk_epochs)
+    params_ens, hist = _run_chunked(
+        run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
+        resume_path=resume_path, checkpoint_every=checkpoint_every,
+        resume=resume, shard_fn=_shard_fn(mesh))
     return _take_rows(params_ens, R), hist[:R]
 
 
 def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
-                         seeds=None, chunk_epochs: int = 200, mesh=None):
+                         seeds=None, chunk_epochs: int = 200, mesh=None,
+                         checkpoint_every=None, resume=False,
+                         resume_path=None):
     """Train the reference's FULL serial sweep product — missing-rate x
     alpha x seed (the two outer serial loops at
     src/experiment_main/imputation.py:23-24, replicated over seeds) — as ONE
@@ -487,11 +546,13 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
         if seeds is not None:
             params, hist = train_alpha_seed_ensemble(
                 dataset, cfg1, alphas, seeds, chunk_epochs=chunk_epochs,
-                mesh=mesh)
+                mesh=mesh, checkpoint_every=checkpoint_every, resume=resume,
+                resume_path=resume_path)
         else:
             params, hist = train_alpha_ensemble(
                 dataset, cfg1, alphas, chunk_epochs=chunk_epochs,
-                seed=cfg.seed, mesh=mesh)
+                seed=cfg.seed, mesh=mesh, checkpoint_every=checkpoint_every,
+                resume=resume, resume_path=resume_path)
         return params, hist, rows
     model = get_model(cfg)
     run_rows = list(rows)
@@ -519,8 +580,10 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
-    params_ens, hist = _run_chunked(run_chunk, params_ens, opt_state,
-                                    cfg.epoch, chunk_epochs)
+    params_ens, hist = _run_chunked(
+        run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
+        resume_path=resume_path, checkpoint_every=checkpoint_every,
+        resume=resume, shard_fn=_shard_fn(mesh))
     return _take_rows(params_ens, R), hist[:R], rows
 
 

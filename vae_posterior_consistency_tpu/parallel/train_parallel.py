@@ -117,7 +117,8 @@ def dryrun_train_step(cfg: RunConfig, mesh, obs_dim: int = 8,
 
 def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
                   model=None, save: bool = False,
-                  experiments_root: str = "experiments"):
+                  experiments_root: str = "experiments",
+                  checkpoint_every=None, resume: bool = False):
     """Full multi-chip training loop: the single-device engine's semantics
     (per-epoch permutation, on-device mask_p/drop generation, reference
     1-based epoch indexing, Adam fused in-program — engine/train.py) with
@@ -127,6 +128,17 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     HBM); every step's batch is sharding-constrained onto `dp`, so XLA emits
     the gradient psum over ICI. Returns (params, loss_history [epochs]).
 
+    Restart contract (same as the serial engine, engine/train.train):
+    `checkpoint_every=N` writes (params, opt_state, epochs-done) to
+    `<checkpoint>.resume.pt` every N epochs (checkpoint.save_resume — leaves
+    gather to host arrays, so the file is mesh-independent), and
+    `resume=True` restarts from it, re-sharding the loaded state over THIS
+    run's mesh. Epoch keys derive from the absolute epoch index
+    (fold_in(key0, epoch+1) below), so the resumed run is bit-identical to
+    an uninterrupted one
+    (tests/test_parallel.py::test_train_sharded_resume_bit_identical).
+    On resume the returned history covers only this process's epochs.
+
     Deliberately specialized (not unified with engine/train._build_epoch_runner
     or parallel/sweep's ensembles): all three engines run pytree params, but
     the single-chip runner shares compiled programs across split digits via
@@ -135,6 +147,7 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     all three would obscure each one's layout contract.
     """
     import math
+    import os
 
     import numpy as np
 
@@ -207,19 +220,35 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
             epoch_body, (params, opt_state), jnp.arange(n_epochs))
         return params, opt_state, hist
 
-    history = []
+    from vae_posterior_consistency_tpu.engine import checkpoint
+
+    resume_path = (checkpoint.checkpoint_path(cfg, experiments_root)
+                   + ".resume.pt")
     done = 0
+    if resume and os.path.exists(resume_path):
+        params, opt_state, done = checkpoint.load_resume(params, opt_state,
+                                                         resume_path)
+        params = jax.device_put(params, p_shard)
+        opt_state = jax.device_put(opt_state, opt_shard)
+
+    history = []
     while done < cfg.epoch:
         n_e = min(chunk_epochs, cfg.epoch - done)
+        if checkpoint_every:
+            n_e = min(n_e, checkpoint_every - done % checkpoint_every)
         params, opt_state, hist = run_chunk(params, opt_state,
                                             jnp.asarray(done), n_e)
         history.append(jax.device_get(hist))
         done += n_e
+        if checkpoint_every and done % checkpoint_every == 0:
+            # also written at the final boundary (serial-engine parity)
+            checkpoint.save_resume(jax.device_get(params),
+                                   jax.device_get(opt_state), done,
+                                   resume_path)
     if save:
         # same mangled checkpoint path as the single-chip engine (the layout
         # is mesh-independent: leaves gather to host arrays on save)
-        from vae_posterior_consistency_tpu.engine import checkpoint
-
         checkpoint.save(jax.device_get(params),
                         checkpoint.checkpoint_path(cfg, experiments_root))
-    return params, np.concatenate(history, axis=0)
+    return params, (np.concatenate(history, axis=0) if history
+                    else np.zeros((0,)))
