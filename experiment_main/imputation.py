@@ -127,11 +127,13 @@ def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds):
     params_ens, _hist = sweep.train_seed_ensemble(dataset, cfg, seeds,
                                                   mesh=mesh)
     _jax.block_until_ready(_hist)
-    for si in range(n_seeds):
-        p_r = _jax.device_get(sweep.ensemble_replica(params_ens, si))
-        checkpoint.save(
-            p_r, checkpoint.checkpoint_path(cfg, "experiments")
-            + checkpoint.seed_suffix(si))
+    # ONE stacked device_get; replicas slice on host (VERDICT r4 item 4 —
+    # per-row ensemble_replica cost a device slice + transfer RTT per seed)
+    params_host = _jax.device_get(params_ens)
+    checkpoint.save_many(
+        [(sweep.ensemble_replica(params_host, si),
+          checkpoint.checkpoint_path(cfg, "experiments")
+          + checkpoint.seed_suffix(si)) for si in range(n_seeds)])
     print(f"=== eval {cfg.vae_type} (seeds={n_seeds}) ===")
     per_row = eval_engine.eval_vae_ensemble(
         [dataset] * n_seeds, [cfg] * n_seeds, params_ens, save_rows=[0])
@@ -197,15 +199,23 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
+        # one stacked device_get + threaded checkpoint writes (VERDICT r4
+        # item 4); rows then slice on host. Eval stays per (alpha, seed) row
+        # because alpha enters eval math (e.g. miwae.eval_step row_loss) —
+        # rows with different alphas cannot share one vmapped eval program.
+        params_host = _jax.device_get(params_ens)
+        checkpoint.save_many([
+            (sweep.ensemble_replica(params_host, i * n_seeds + si
+                                    if n_seeds > 1 else i),
+             checkpoint.checkpoint_path(cfg.replace(alpha=a), "experiments")
+             + checkpoint.seed_suffix(si))
+            for i, a in enumerate(cfg_alphas) for si in range(n_seeds)])
         for i, a in enumerate(cfg_alphas):
             cfg_a = cfg.replace(alpha=a)
             per_seed = []
             for si in range(n_seeds):
                 row = i * n_seeds + si if n_seeds > 1 else i
-                p_r = _jax.device_get(sweep.ensemble_replica(params_ens, row))
-                checkpoint.save(
-                    p_r, checkpoint.checkpoint_path(cfg_a, "experiments")
-                    + checkpoint.seed_suffix(si))
+                p_r = sweep.ensemble_replica(params_host, row)
                 per_seed.append(eval_engine.eval_vae(dataset, cfg_a,
                                                      params=p_r,
                                                      save=si == 0))
@@ -276,9 +286,27 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        # group the rows by (missing, alpha); seeds inside a group give
-        # error bars. Vanilla: the single trained row (per seed) is
+        # one stacked device_get + threaded checkpoint writes (VERDICT r4
+        # item 4). Group the rows by (missing, alpha); seeds inside a group
+        # give error bars. Vanilla: the single trained row (per seed) is
         # re-evaluated at every requested rate (training is rate-free).
+        params_host = _jax.device_get(params_ens)
+        ckpt_pairs = []
+        for mi, m in enumerate(missings):
+            for a in cfg_alphas:
+                m_trained = m if reg else cfg_miss[0]
+                row_ids = [ri for ri, (rm, ra, _) in enumerate(rows)
+                           if rm == m_trained and ra == a]
+                cfg_ma = cfg.replace(alpha=a, p_missingness=m)
+                for si, ri in enumerate(row_ids):
+                    if reg or mi == 0:
+                        # one checkpoint per trained row (vanilla names
+                        # don't carry p_missingness — saving once suffices)
+                        ckpt_pairs.append((
+                            sweep.ensemble_replica(params_host, ri),
+                            checkpoint.checkpoint_path(cfg_ma, "experiments")
+                            + checkpoint.seed_suffix(si)))
+        checkpoint.save_many(ckpt_pairs)
         for mi, m in enumerate(missings):
             for a in cfg_alphas:
                 m_trained = m if reg else cfg_miss[0]
@@ -287,15 +315,7 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
                 cfg_ma = cfg.replace(alpha=a, p_missingness=m)
                 per_seed = []
                 for si, ri in enumerate(row_ids):
-                    p_r = _jax.device_get(
-                        sweep.ensemble_replica(params_ens, ri))
-                    if reg or mi == 0:
-                        # one checkpoint per trained row (vanilla names
-                        # don't carry p_missingness — saving once suffices)
-                        checkpoint.save(
-                            p_r,
-                            checkpoint.checkpoint_path(cfg_ma, "experiments")
-                            + checkpoint.seed_suffix(si))
+                    p_r = sweep.ensemble_replica(params_host, ri)
                     per_seed.append(eval_engine.eval_vae(
                         dataset, cfg_ma, params=p_r, save=si == 0))
                 for stage in per_seed[0]:
@@ -373,13 +393,17 @@ def run_suite_ensembles(records, missing, alpha):
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
         S0 = len(cfgs)
-        for row in range(S0 * n_seeds):
-            s, i = divmod(row, S0)
-            p_i = _jax.device_get(sweep.ensemble_replica(params_ens, row))
-            # extra seeds: suffixed, reference contract untouched
-            path = (checkpoint.checkpoint_path(cfgs[i], "experiments")
-                    + checkpoint.seed_suffix(s))
-            checkpoint.save(p_i, path)
+        # ONE stacked device_get for the whole group + threaded writes
+        # (VERDICT r4 item 4: the save bucket was a device slice + transfer
+        # RTT + serial torch.save per replica)
+        params_host = _jax.device_get(params_ens)
+        checkpoint.save_many([
+            (sweep.ensemble_replica(params_host, row),
+             # extra seeds: suffixed, reference contract untouched
+             checkpoint.checkpoint_path(cfgs[row % S0], "experiments")
+             + checkpoint.seed_suffix(row // S0))
+            for row in range(S0 * n_seeds)])
+        t_save = _time.perf_counter() - t0
         # seed-0 rows keep the reference artifact contract; the engine owns
         # the write policy (eval_vae_ensemble's save_rows). Ragged groups:
         # one vmapped eval program per split-SIZE class (the evaluator's
@@ -417,7 +441,11 @@ def run_suite_ensembles(records, missing, alpha):
                         line.append(f"{k}={mu:.5f}")
                 print(f"  {cfg.vae_type} [{stage}] " + "  ".join(line))
         t_eval = _time.perf_counter() - t0
-        print(f"  [timing] train {t_train:.1f}s  eval+save {t_eval:.1f}s",
+        # eval+save is the r4 headline bucket; the (save=, eval=) split
+        # decomposes it — save is the gather+checkpoint writes, eval is the
+        # vmapped eval dispatches + artifact scalars (VERDICT r4 item 4)
+        print(f"  [timing] train {t_train:.1f}s  eval+save {t_eval:.1f}s  "
+              f"(save={t_save:.1f}s eval={t_eval - t_save:.1f}s)",
               flush=True)
 
 

@@ -102,6 +102,28 @@ def load(template_params, path: str):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_many(pairs) -> None:
+    """Write [(params, path)] checkpoints through a small thread pool.
+
+    The ensemble suites' save bucket was a serial torch.save per replica
+    (VERDICT r4 item 4); the pickle bytes are GIL-bound but the file
+    flushes overlap. Callers pass HOST pytrees (one stacked device_get for
+    the whole ensemble, sliced per replica on host) so no device
+    dispatch/transfer round-trip is paid per replica. Joins before
+    returning so suite `[timing]` lines still account for the writes."""
+    pairs = list(pairs)
+    if len(pairs) <= 1:
+        for p, path in pairs:
+            save(p, path)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = [pool.submit(save, p, path) for p, path in pairs]
+        for f in futs:
+            f.result()
+
+
 def save_resume(params, opt_state, epoch: int, path: str) -> None:
     """Write mid-training restart state — (params, optimizer state, epochs
     done) — in one atomic-enough `.resume.pt` file. ONE contract for every
