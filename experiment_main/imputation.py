@@ -75,11 +75,20 @@ def _group_records(records):
     return [groups[k] for k in order]
 
 
-def _train_and_eval_one(dataset, cfg, mesh):
+def _restart_opts(args):
+    """(-checkpoint_every, -resume) CLI flags -> engine kwargs. One reader
+    so every suite path interprets the flags identically."""
+    ck = int(getattr(args, "checkpoint_every", 0) or 0)
+    return (ck if ck > 0 else None), bool(getattr(args, "resume", False))
+
+
+def _train_and_eval_one(dataset, cfg, mesh, checkpoint_every=None,
+                        resume=False):
     """Train + eval ONE config, honoring `-mesh` (multi-chip engine when a
-    mesh is resolved, single-chip otherwise). Shared by the serial grid and
-    the ensemble path's unequal-shapes fallback so the two dispatch blocks
-    cannot drift apart."""
+    mesh is resolved, single-chip otherwise) and the -checkpoint_every /
+    -resume restart flags. Shared by the serial grid and the ensemble
+    path's unequal-shapes fallback so the two dispatch blocks cannot drift
+    apart."""
     if mesh is not None:
         # multi-chip engine: batch dp-sharded, wide params tp-sharded;
         # same checkpoint/artifact contract
@@ -90,15 +99,18 @@ def _train_and_eval_one(dataset, cfg, mesh):
             train_sharded,
         )
 
-        train_sharded(dataset, cfg, mesh, save=True)
+        train_sharded(dataset, cfg, mesh, save=True,
+                      checkpoint_every=checkpoint_every, resume=resume)
         print(f"=== eval {cfg.vae_type} ===")
         return eval_vae_sharded(dataset, cfg, mesh)
-    train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch))
+    train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch),
+                       checkpoint_every=checkpoint_every, resume=resume)
     print(f"=== eval {cfg.vae_type} ===")
     return eval_engine.eval_vae(dataset, cfg)
 
 
-def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds):
+def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds, checkpoint_every=None,
+                          resume=False):
     """`-seeds N` on the serial (non-ensemble) grid: the N seed replicas of
     ONE config train as a single seed-ensemble program
     (parallel/sweep.train_seed_ensemble) and evaluate as one vmapped
@@ -124,8 +136,11 @@ def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds):
           "statistically equivalent, not reproductions (PARITY.md deviation "
           "#8)", flush=True)
     seeds = [cfg.seed + si for si in range(n_seeds)]
-    params_ens, _hist = sweep.train_seed_ensemble(dataset, cfg, seeds,
-                                                  mesh=mesh)
+    params_ens, _hist = sweep.train_seed_ensemble(
+        dataset, cfg, seeds, mesh=mesh, checkpoint_every=checkpoint_every,
+        resume=resume,
+        resume_path=checkpoint.checkpoint_path(cfg, "experiments")
+        + f".seeds{n_seeds}.resume.pt")
     _jax.block_until_ready(_hist)
     # ONE stacked device_get; replicas slice on host (VERDICT r4 item 4 —
     # per-row ensemble_replica cost a device slice + transfer RTT per seed)
@@ -186,16 +201,21 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
         print(f"=== alpha-ensemble train {cfg.vae_type} (missing={missing}, "
               f"alphas={cfg_alphas}{seed_tag}){note} ===", flush=True)
         t0 = _time.perf_counter()
+        ck, rs = _restart_opts(args)
+        rp = (checkpoint.checkpoint_path(cfg, "experiments")
+              + f".alphas{len(cfg_alphas)}x{n_seeds}.resume.pt")
         if n_seeds > 1:
             # paired error bars: [A * n_seeds] rows in ONE program; rows of
             # one seed share init/streams across alphas
             # (sweep.train_alpha_seed_ensemble)
             seeds = [cfg.seed + si for si in range(n_seeds)]
             params_ens, hist = sweep.train_alpha_seed_ensemble(
-                dataset, cfg, cfg_alphas, seeds, mesh=mesh)
+                dataset, cfg, cfg_alphas, seeds, mesh=mesh,
+                checkpoint_every=ck, resume=rs, resume_path=rp)
         else:
             params_ens, hist = sweep.train_alpha_ensemble(
-                dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh)
+                dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh,
+                checkpoint_every=ck, resume=rs, resume_path=rp)
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -280,9 +300,13 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
               f"(missings={cfg_miss}, alphas={cfg_alphas}{seed_tag})"
               f"{note} ===", flush=True)
         t0 = _time.perf_counter()
+        ck, rs = _restart_opts(args)
         params_ens, hist, rows = sweep.train_sweep_ensemble(
             dataset, cfg, missings=cfg_miss, alphas=cfg_alphas, seeds=seeds,
-            mesh=mesh)
+            mesh=mesh, checkpoint_every=ck, resume=rs,
+            resume_path=checkpoint.checkpoint_path(cfg, "experiments")
+            + f".sweep{len(cfg_miss) * len(cfg_alphas) * n_seeds}"
+            ".resume.pt")
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -386,9 +410,12 @@ def run_suite_ensembles(records, missing, alpha):
         print(f"=== ensemble train {names} (missing={missing}, "
               f"alpha={alpha}{seed_tag}) ===", flush=True)
         t0 = _time.perf_counter()
-        params_ens, _hist = sweep.train_split_ensemble(datasets, cfgs[0],
-                                                       mesh=mesh,
-                                                       n_seeds=n_seeds)
+        ck, rs = _restart_opts(args)
+        params_ens, _hist = sweep.train_split_ensemble(
+            datasets, cfgs[0], mesh=mesh, n_seeds=n_seeds,
+            checkpoint_every=ck, resume=rs,
+            resume_path=checkpoint.checkpoint_path(cfgs[0], "experiments")
+            + f".ens{len(cfgs) * n_seeds}.resume.pt")
         _jax.block_until_ready(_hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -516,17 +543,22 @@ def _run_grid(records, probe):
                 seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
                 print(f"=== train {cfg.vae_type} (missing={missing}, "
                       f"alpha={alpha}{seed_tag}){tag} ===")
+                ck, rs = _restart_opts(args)
                 if n_seeds > 1:
                     # error bars without -ensemble: each record's N seed
                     # replicas run as one program (_train_and_eval_seeds)
                     results = _train_and_eval_seeds(dataset, cfg, mesh,
-                                                    n_seeds)
+                                                    n_seeds,
+                                                    checkpoint_every=ck,
+                                                    resume=rs)
                     for stage, metrics in results.items():
                         print(f"  [{stage}] " + "  ".join(
                             f"{k}={mu:.5f}±{sd:.5f}"
                             for k, (mu, sd) in metrics.items()))
                     continue
-                results = _train_and_eval_one(dataset, cfg, mesh)
+                results = _train_and_eval_one(dataset, cfg, mesh,
+                                              checkpoint_every=ck,
+                                              resume=rs)
                 for stage, metrics in results.items():
                     print(f"  [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))

@@ -93,9 +93,12 @@ def _run_grid(records):
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 n_seeds = max(1, int(getattr(args, "seeds", 1)))
+                ck = int(getattr(args, "checkpoint_every", 0) or 0) or None
+                rs = bool(getattr(args, "resume", False))
                 if n_seeds > 1:
                     _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing,
-                                       alpha, tag)
+                                       alpha, tag, checkpoint_every=ck,
+                                       resume=rs)
                     continue
                 print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
                       f"alpha={alpha}){tag} ===", flush=True)
@@ -106,13 +109,15 @@ def _run_grid(records):
                         train_sharded,
                     )
 
-                    params, _ = train_sharded(dataset, cfg, mesh, save=True)
+                    params, _ = train_sharded(dataset, cfg, mesh, save=True,
+                                              checkpoint_every=ck, resume=rs)
                     # MNAR eval is one full-matrix pass x M — cheap; gather
                     # the trained params and reuse the single-program engine
                     params = jax.device_get(params)
                 else:
                     train_engine.train(dataset, cfg,
-                                       log_fn=epoch_logger(cfg.epoch))
+                                       log_fn=epoch_logger(cfg.epoch),
+                                       checkpoint_every=ck, resume=rs)
                 t_train = time.perf_counter() - t0
                 print(f"=== eval {cfg.vae_type} (MNAR) ===", flush=True)
                 t0 = time.perf_counter()
@@ -124,7 +129,8 @@ def _run_grid(records):
                       f"eval {time.perf_counter() - t0:.1f}s", flush=True)
 
 
-def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag):
+def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag,
+                       checkpoint_every=None, resume=False):
     """-seeds N: train N independent seed replicas of this MNAR config as ONE
     vmapped program (parallel/sweep.train_seed_ensemble; replicas dp-shard
     over a mesh with padding), evaluate all replicas in one compiled MNAR
@@ -138,7 +144,10 @@ def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag):
           f"alpha={alpha}, seeds={n_seeds}){tag} ===", flush=True)
     t0 = time.perf_counter()
     params_ens, hist = sweep.train_seed_ensemble(
-        dataset, cfg, seeds=[cfg.seed + s for s in range(n_seeds)], mesh=mesh)
+        dataset, cfg, seeds=[cfg.seed + s for s in range(n_seeds)], mesh=mesh,
+        checkpoint_every=checkpoint_every, resume=resume,
+        resume_path=checkpoint.checkpoint_path(cfg, "experiments")
+        + f".seeds{n_seeds}.resume.pt")
     jax.block_until_ready(hist)
     t_train = time.perf_counter() - t0
     t0 = time.perf_counter()

@@ -99,6 +99,23 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             help="comma-separated p_missingness rates to sweep "
                  "(e.g. '10,30,50'); empty = the entry's default sweep",
         )
+    if "checkpoint_every" not in arguments:
+        # mid-training restartability (the reference only saves at the END
+        # of training, src/experiment_main/train.py:120-131). Applies to
+        # the serial engine, the sharded engine, and every vmapped
+        # ensemble program (the WHOLE stacked ensemble state checkpoints
+        # as one atomic .resume.pt — engine/checkpoint.save_resume).
+        parser.add_argument(
+            "-checkpoint_every", type=int, default=0,
+            help="write a mid-training .resume.pt every N epochs "
+                 "(0 = end-of-training save only, the reference behavior)",
+        )
+    if "resume" not in arguments:
+        parser.add_argument(
+            "-resume", type=str2bool, default=False,
+            help="restart from the .resume.pt written by a prior "
+                 "-checkpoint_every run (bit-identical continuation)",
+        )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with
         # TensorBoard/Perfetto; utils/logging.profile_trace)
