@@ -48,6 +48,13 @@ from vae_posterior_consistency_tpu.models import get_model
 from vae_posterior_consistency_tpu.ops import masks as masks_ops
 
 
+#: replica count at which seed-mode ensembles switch from hoisted
+#: [S, n+pad, D] epoch gathers to per-step row gathers (see the measured
+#: policy note in _make_ensemble_chunk). Module-level so tests can pin the
+#: two layouts against each other at tiny S.
+PER_STEP_GATHER_MIN_S = 128
+
+
 def _stacked_init(model, cfg, obs_dim, init_keys):
     """Stacked-pytree ensemble init: every leaf gains a leading [S] axis."""
     return jax.vmap(lambda k: model.init(k, cfg, obs_dim))(init_keys)
@@ -77,6 +84,19 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
     use_alpha = alphas is not None
     use_miss = missings is not None
     shared_streams = mode == "alpha"
+    # WIDE seed ensembles skip the materialized [S, n+pad, D] epoch tables:
+    # each step gathers its [S, bsz] rows straight from the [n, D] source,
+    # and the step scan runs un-unrolled (value-identical — a gather
+    # reorder; pinned by tests/test_parallel.py::
+    # test_seed_ensemble_per_step_gather_layout_equivalence). Measured on
+    # TPU v5e at batch 64 (tools/bench_rollover_probes.py, RESULTS.md
+    # round-5 rollover study): +10% at S=128, +28% at S=256, +24% at
+    # S=512 over the hoisted-table layout; the epoch-table random-row
+    # gather (S*n rows/epoch) plus the unroll=8 graph was the measured
+    # rollover driver. Below the threshold the hoisted layout keeps its
+    # serial-engine-measured win (+59% at S=1, engine/train.py).
+    per_step_gather = mode == "seed" and S >= PER_STEP_GATHER_MIN_S
+    unroll = 1 if per_step_gather else min(8, steps)
 
     def replica_loss(p, x_b, m_b, mp_b, k_model, epoch, alpha):
         c = cfg.replace(alpha=alpha) if use_alpha else cfg
@@ -121,8 +141,11 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
                 kperms, ksteps = jax.vmap(jax.random.split, out_axes=1)(ekeys)
                 perms = jax.vmap(
                     lambda k: padded(jax.random.permutation(k, n)))(kperms)
-                x_epoch = jnp.take(data, perms, axis=0)    # [S, n+pad, D]
-                m_epoch = jnp.take(mask, perms, axis=0)
+                if per_step_gather:
+                    x_epoch = m_epoch = None  # steps gather from `data`
+                else:
+                    x_epoch = jnp.take(data, perms, axis=0)  # [S, n+pad, D]
+                    m_epoch = jnp.take(mask, perms, axis=0)
                 step_keys = jax.vmap(jax.vmap(
                     lambda k, s: jax.random.split(jax.random.fold_in(k, s)),
                     (None, 0)), (0, None))(ksteps, jnp.arange(steps))
@@ -162,8 +185,13 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
                     return jax.lax.dynamic_slice(
                         arr, (s * bsz, 0), (bsz, obs_dim))
 
-                x_b = slice_rows(x_epoch)
-                m_b = slice_rows(m_epoch)
+                if per_step_gather:
+                    idx = jax.lax.dynamic_slice(perms, (0, s * bsz), (S, bsz))
+                    x_b = jnp.take(data, idx, axis=0)       # [S, bsz, D]
+                    m_b = jnp.take(mask, idx, axis=0)
+                else:
+                    x_b = slice_rows(x_epoch)
+                    m_b = slice_rows(m_epoch)
                 if shared_streams:
                     k_mask, k_model = kp[0], kp[1]
                     if use_miss:
@@ -187,7 +215,7 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
 
             (Pmat, opt_state), losses = jax.lax.scan(
                 step_body, (Pmat, opt_state),
-                (jnp.arange(steps), step_keys), unroll=min(8, steps))
+                (jnp.arange(steps), step_keys), unroll=min(unroll, steps))
             return (Pmat, opt_state), jnp.sum(losses, axis=0)  # [S]
 
         (Pmat, opt_state), hist = jax.lax.scan(epoch_body, (Pmat, opt_state),
