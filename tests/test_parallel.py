@@ -1051,3 +1051,31 @@ def test_seed_ensemble_per_step_gather_layout_equivalence(
                     jax.tree_util.tree_leaves(p_step)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sweep_ensemble_per_step_gather_layout_equivalence(
+        tiny_dataset, monkeypatch):
+    """The per-step-gather policy also covers the seeded full-sweep grid
+    (mode='seed' with traced per-row alpha AND missing rate): both layouts
+    produce the same history and params."""
+    from vae_posterior_consistency_tpu.data import loaders
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=4,
+                    batch_size=16, latent_dim=4, p_missingness=30)
+
+    monkeypatch.setattr(sweep, "PER_STEP_GATHER_MIN_S", 10 ** 9)
+    p_table, h_table, rows_t = sweep.train_sweep_ensemble(
+        ds, cfg, missings=[30, 50], alphas=[0.5, 1.0], seeds=[0, 1],
+        chunk_epochs=2)
+    monkeypatch.setattr(sweep, "PER_STEP_GATHER_MIN_S", 1)
+    p_step, h_step, rows_s = sweep.train_sweep_ensemble(
+        ds, cfg, missings=[30, 50], alphas=[0.5, 1.0], seeds=[0, 1],
+        chunk_epochs=2)
+
+    assert rows_t == rows_s
+    np.testing.assert_allclose(h_step, h_table, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_table),
+                    jax.tree_util.tree_leaves(p_step)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
