@@ -48,6 +48,11 @@ def main():
     profile_dir = None
     if "-profile" in sys.argv:
         profile_dir = sys.argv[sys.argv.index("-profile") + 1]
+    batches = (64, 256, 512, 1024)
+    if "-batches" in sys.argv:
+        batches = tuple(
+            int(b) for b in
+            sys.argv[sys.argv.index("-batches") + 1].split(","))
 
     fps = _mnist_flops_per_sample()
     peak = _peak_tflops() or float("nan")
@@ -56,7 +61,7 @@ def main():
     print(f"{'batch':>6} {'dtype':>9} {'samples/s':>12} {'TFLOP/s':>9} "
           f"{'MFU%':>7} {'compile_s':>10}")
     results = []
-    for batch in (64, 256, 512, 1024):
+    for batch in batches:
         for dtype in ("float32", "bfloat16"):
             sps, t_c, loss = measure(batch, dtype)
             tf = sps * fps / 1e12

@@ -294,10 +294,12 @@ class RunConfig:
     #: golden/parity test pins) | 'bfloat16' (bf16 operands with f32
     #: accumulation; params/optimizer stay f32). Measured on TPU v5e: XLA's
     #: DEFAULT precision already runs f32 matmuls as bf16-with-f32-
-    #: accumulate on the MXU (identical losses, identical speed — RESULTS.md
-    #: "Mixed precision"), so on TPU this knob's real effect is narrowing
-    #: the big ELEMENTWISE intermediates (the EDDI [B, D, K] embed) to halve
-    #: their HBM traffic. On CPU/GPU it also narrows the matmuls themselves.
+    #: accumulate on the MXU (identical losses — RESULTS.md "Mixed
+    #: precision"), and 'bfloat16' has NO measured throughput benefit at
+    #: ANY current shape (batch 64-4096, tiny-table and MNIST-EDDI; every
+    #: delta within tunnel noise, round-5 table in RESULTS.md). On TPU the
+    #: knob exists for numerics experiments and forward-compatibility; on
+    #: CPU/GPU it genuinely narrows the matmuls.
     compute_dtype: str = "float32"
     #: device mesh for the multi-chip engine: '' = single-chip, 'auto' = all
     #: devices (dp x tp auto-factored), 'DP' or 'DP,TP' explicit. The
