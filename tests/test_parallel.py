@@ -1079,3 +1079,29 @@ def test_sweep_ensemble_per_step_gather_layout_equivalence(
                     jax.tree_util.tree_leaves(p_step)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_seed_ensemble_group_split_equivalence(tiny_dataset, monkeypatch):
+    """Ultra-wide seed ensembles train as sequential <=SEED_GROUP_MAX_S
+    groups (sweep.SEED_GROUP_MAX_S — the measured S=1024 mitigation).
+    Replica streams key off the SEED VALUE, so grouping changes no PRNG
+    draw; only FP reassociation across the differently-sized compiled
+    programs moves values, at rounding level (measured ~1e-6 on the
+    singleton group)."""
+    from vae_posterior_consistency_tpu.data import loaders
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32,
+                             "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    epoch=4, batch_size=16, latent_dim=4)
+    seeds = [0, 1, 2, 3, 4]
+
+    p_one, h_one = sweep.train_seed_ensemble(ds, cfg, seeds, chunk_epochs=2)
+    monkeypatch.setattr(sweep, "SEED_GROUP_MAX_S", 2)
+    p_grp, h_grp = sweep.train_seed_ensemble(ds, cfg, seeds, chunk_epochs=2)
+
+    np.testing.assert_allclose(h_grp, h_one, rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_one),
+                    jax.tree_util.tree_leaves(p_grp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

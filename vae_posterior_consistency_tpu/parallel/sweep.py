@@ -54,6 +54,18 @@ from vae_posterior_consistency_tpu.ops import masks as masks_ops
 #: two layouts against each other at tiny S.
 PER_STEP_GATHER_MIN_S = 128
 
+#: widest seed ensemble trained as ONE program. Past S≈512 the regime is
+#: replica-overhead-bound regardless of gather layout (RESULTS.md round-5
+#: map: S=1024 runs at 25.6M samples/s vs S=512's 31.9M, b64), so
+#: train_seed_ensemble splits wider requests into sequential ≤S_MAX groups
+#: — replicas are fully independent and every stream is keyed by the seed
+#: value (never the row index), so grouping leaves every replica's PRNG
+#: draws untouched; only FP reassociation across differently-sized
+#: compiled programs can move values, at rounding level (~1e-6 — pinned by
+#: tests/test_parallel.py::test_seed_ensemble_group_split_equivalence).
+#: The narrower programs run ~25% faster per replica at S=1024.
+SEED_GROUP_MAX_S = 512
+
 
 def _stacked_init(model, cfg, obs_dim, init_keys):
     """Stacked-pytree ensemble init: every leaf gains a leading [S] axis."""
@@ -353,9 +365,32 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     With `mesh`, replicas shard across the mesh's `dp` axis (zero
     collectives — replicas are independent; see shard_ensemble), padding
     S to a multiple of dp internally (padded rows are sliced off here).
+
+    Requests wider than SEED_GROUP_MAX_S train as sequential groups of at
+    most that many replicas (each group its own compiled program; equal
+    group sizes share one compile cache entry). Every replica's
+    init/shuffle/mask streams key off its SEED value, so grouping changes
+    no PRNG draw (values move only at FP-reassociation rounding level —
+    see SEED_GROUP_MAX_S) and is measurably faster than one ultra-wide
+    program. With checkpoint_every/resume, group i writes
+    `resume_path + '.g{i}'` so a killed multi-group run resumes
+    group-accurately.
     """
     seeds = list(seeds)  # normalize once — the sequence is consumed twice
     S = len(seeds)
+    if S > SEED_GROUP_MAX_S:
+        g = SEED_GROUP_MAX_S
+        parts = [train_seed_ensemble(
+            dataset, cfg, seeds[i:i + g], chunk_epochs=chunk_epochs,
+            mesh=mesh, checkpoint_every=checkpoint_every, resume=resume,
+            resume_path=(f"{resume_path}.g{i // g}" if resume_path
+                         else None))
+            for i in range(0, S, g)]
+        params = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0),
+            *[p for p, _ in parts])
+        import numpy as np
+        return params, np.concatenate([h for _, h in parts], axis=0)
     run_chunk, params_ens, opt_state = build_seed_ensemble_runner(
         dataset, cfg, seeds, mesh=mesh)
     params_ens, hist = _run_chunked(
