@@ -43,6 +43,7 @@ from vae_posterior_consistency_tpu.config import (
     parse_alphas,
     parse_missings,
     resolve_mesh,
+    restart_opts,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -73,13 +74,6 @@ def _group_records(records):
             order.append(key)
         groups[key].append(rec)
     return [groups[k] for k in order]
-
-
-def _restart_opts(args):
-    """(-checkpoint_every, -resume) CLI flags -> engine kwargs. One reader
-    so every suite path interprets the flags identically."""
-    ck = int(getattr(args, "checkpoint_every", 0) or 0)
-    return (ck if ck > 0 else None), bool(getattr(args, "resume", False))
 
 
 def _train_and_eval_one(dataset, cfg, mesh, checkpoint_every=None,
@@ -201,7 +195,7 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
         print(f"=== alpha-ensemble train {cfg.vae_type} (missing={missing}, "
               f"alphas={cfg_alphas}{seed_tag}){note} ===", flush=True)
         t0 = _time.perf_counter()
-        ck, rs = _restart_opts(args)
+        ck, rs = restart_opts(args)
         rp = (checkpoint.checkpoint_path(cfg, "experiments")
               + f".alphas{len(cfg_alphas)}x{n_seeds}.resume.pt")
         if n_seeds > 1:
@@ -300,7 +294,7 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
               f"(missings={cfg_miss}, alphas={cfg_alphas}{seed_tag})"
               f"{note} ===", flush=True)
         t0 = _time.perf_counter()
-        ck, rs = _restart_opts(args)
+        ck, rs = restart_opts(args)
         params_ens, hist, rows = sweep.train_sweep_ensemble(
             dataset, cfg, missings=cfg_miss, alphas=cfg_alphas, seeds=seeds,
             mesh=mesh, checkpoint_every=ck, resume=rs,
@@ -315,46 +309,44 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
         # give error bars. Vanilla: the single trained row (per seed) is
         # re-evaluated at every requested rate (training is rate-free).
         params_host = _jax.device_get(params_ens)
-        ckpt_pairs = []
+        # grouping computed ONCE for both the checkpoint and eval passes —
+        # the row-matching predicate must never desynchronize between them
+        groups = []
         for mi, m in enumerate(missings):
             for a in cfg_alphas:
                 m_trained = m if reg else cfg_miss[0]
                 row_ids = [ri for ri, (rm, ra, _) in enumerate(rows)
                            if rm == m_trained and ra == a]
-                cfg_ma = cfg.replace(alpha=a, p_missingness=m)
-                for si, ri in enumerate(row_ids):
-                    if reg or mi == 0:
-                        # one checkpoint per trained row (vanilla names
-                        # don't carry p_missingness — saving once suffices)
-                        ckpt_pairs.append((
-                            sweep.ensemble_replica(params_host, ri),
-                            checkpoint.checkpoint_path(cfg_ma, "experiments")
-                            + checkpoint.seed_suffix(si)))
-        checkpoint.save_many(ckpt_pairs)
-        for mi, m in enumerate(missings):
-            for a in cfg_alphas:
-                m_trained = m if reg else cfg_miss[0]
-                row_ids = [ri for ri, (rm, ra, _) in enumerate(rows)
-                           if rm == m_trained and ra == a]
-                cfg_ma = cfg.replace(alpha=a, p_missingness=m)
-                per_seed = []
-                for si, ri in enumerate(row_ids):
-                    p_r = sweep.ensemble_replica(params_host, ri)
-                    per_seed.append(eval_engine.eval_vae(
-                        dataset, cfg_ma, params=p_r, save=si == 0))
-                for stage in per_seed[0]:
-                    line = []
-                    for k in per_seed[0][stage]:
-                        vals = [ps[stage][k] for ps in per_seed]
-                        mu = sum(vals) / len(vals)
-                        if n_seeds > 1:
-                            sd = (sum((v - mu) ** 2 for v in vals)
-                                  / len(vals)) ** 0.5
-                            line.append(f"{k}={mu:.5f}±{sd:.5f}")
-                        else:
-                            line.append(f"{k}={mu:.5f}")
-                    print(f"  missing={m} alpha={a:g} [{stage}] "
-                          + "  ".join(line))
+                groups.append((m, a, mi, row_ids,
+                               cfg.replace(alpha=a, p_missingness=m)))
+        # one checkpoint per trained row (vanilla names don't carry
+        # p_missingness — saving the mi == 0 group suffices)
+        checkpoint.save_many(
+            (sweep.ensemble_replica(params_host, ri),
+             checkpoint.checkpoint_path(cfg_ma, "experiments")
+             + checkpoint.seed_suffix(si))
+            for m, a, mi, row_ids, cfg_ma in groups
+            if reg or mi == 0
+            for si, ri in enumerate(row_ids))
+        for m, a, mi, row_ids, cfg_ma in groups:
+            per_seed = []
+            for si, ri in enumerate(row_ids):
+                p_r = sweep.ensemble_replica(params_host, ri)
+                per_seed.append(eval_engine.eval_vae(
+                    dataset, cfg_ma, params=p_r, save=si == 0))
+            for stage in per_seed[0]:
+                line = []
+                for k in per_seed[0][stage]:
+                    vals = [ps[stage][k] for ps in per_seed]
+                    mu = sum(vals) / len(vals)
+                    if n_seeds > 1:
+                        sd = (sum((v - mu) ** 2 for v in vals)
+                              / len(vals)) ** 0.5
+                        line.append(f"{k}={mu:.5f}±{sd:.5f}")
+                    else:
+                        line.append(f"{k}={mu:.5f}")
+                print(f"  missing={m} alpha={a:g} [{stage}] "
+                      + "  ".join(line))
         print(f"  [timing] train {t_train:.1f}s  eval+save "
               f"{_time.perf_counter() - t0:.1f}s", flush=True)
 
@@ -410,7 +402,7 @@ def run_suite_ensembles(records, missing, alpha):
         print(f"=== ensemble train {names} (missing={missing}, "
               f"alpha={alpha}{seed_tag}) ===", flush=True)
         t0 = _time.perf_counter()
-        ck, rs = _restart_opts(args)
+        ck, rs = restart_opts(args)
         params_ens, _hist = sweep.train_split_ensemble(
             datasets, cfgs[0], mesh=mesh, n_seeds=n_seeds,
             checkpoint_every=ck, resume=rs,
@@ -543,7 +535,7 @@ def _run_grid(records, probe):
                 seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
                 print(f"=== train {cfg.vae_type} (missing={missing}, "
                       f"alpha={alpha}{seed_tag}){tag} ===")
-                ck, rs = _restart_opts(args)
+                ck, rs = restart_opts(args)
                 if n_seeds > 1:
                     # error bars without -ensemble: each record's N seed
                     # replicas run as one program (_train_and_eval_seeds)

@@ -42,6 +42,7 @@ from vae_posterior_consistency_tpu.config import (
     resolve_mesh,
     parse_alphas,
     parse_missings,
+    restart_opts,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -93,8 +94,7 @@ def _run_grid(records):
                 mesh = resolve_mesh(cfg)
                 tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
                 n_seeds = max(1, int(getattr(args, "seeds", 1)))
-                ck = int(getattr(args, "checkpoint_every", 0) or 0) or None
-                rs = bool(getattr(args, "resume", False))
+                ck, rs = restart_opts(args)
                 if n_seeds > 1:
                     _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing,
                                        alpha, tag, checkpoint_every=ck,

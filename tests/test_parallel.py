@@ -1105,3 +1105,40 @@ def test_seed_ensemble_group_split_equivalence(tiny_dataset, monkeypatch):
                     jax.tree_util.tree_leaves(p_grp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_seed_ensemble_group_resume_uneven_histories(
+        tiny_dataset, tmp_path, monkeypatch):
+    """A killed multi-group run resumes group-accurately (code-review r5):
+    groups that already finished rerun 0 epochs, so per-group histories
+    have unequal lengths — the concat NaN-pads on the left instead of
+    crashing after all the training is done. Params must match the
+    uninterrupted run exactly."""
+    import os
+
+    from vae_posterior_consistency_tpu.data import loaders
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32,
+                             "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    epoch=4, batch_size=16, latent_dim=4)
+    seeds = [0, 1, 2, 3]
+    monkeypatch.setattr(sweep, "SEED_GROUP_MAX_S", 2)
+    rp = str(tmp_path / "ens.resume.pt")
+
+    p_full, h_full = sweep.train_seed_ensemble(
+        ds, cfg, seeds, chunk_epochs=2, checkpoint_every=2, resume_path=rp)
+    assert os.path.exists(rp + ".g0") and os.path.exists(rp + ".g1")
+    # simulate a kill while group 1 was still training: its file vanishes
+    os.remove(rp + ".g1")
+    p_res, h_res = sweep.train_seed_ensemble(
+        ds, cfg, seeds, chunk_epochs=2, checkpoint_every=2, resume_path=rp,
+        resume=True)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_res)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert h_res.shape == h_full.shape
+    # group 0 ran nothing in the resumed process: NaN rows; group 1 real
+    assert np.isnan(h_res[:2]).all()
+    np.testing.assert_array_equal(h_res[2:], h_full[2:])

@@ -318,3 +318,58 @@ def test_gaussian_kde_scott_scale_equivariance():
     np.testing.assert_allclose(np.asarray(scaled),
                                np.asarray(base - jnp.sum(jnp.log(a))),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_train_resume_final_boundary_not_multiple(tiny_dataset, tmp_path):
+    """The final resume state is written even when cfg.epoch is NOT a
+    multiple of checkpoint_every (code-review r5): a later higher-epoch run
+    must resume from the true end, not the last multiple."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=5,
+                    batch_size=32, latent_dim=4)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    T.train(ds, cfg, experiments_root=str(tmp_path), checkpoint_every=2)
+    rp = checkpoint.checkpoint_path(cfg, str(tmp_path)) + ".resume.pt"
+    assert os.path.exists(rp)
+    model_params, model_opt, done = None, None, None
+    # read back the epoch counter: it must be 5, not 4
+    from vae_posterior_consistency_tpu.models import get_model
+    import optax
+
+    from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE
+
+    model = get_model(cfg)
+    tmpl_p = model.init(jax.random.PRNGKey(0), cfg, ds.obs_dim)
+    tmpl_o = optax.adam(LEARNING_RATE).init(tmpl_p)
+    _, _, done = checkpoint.load_resume(tmpl_p, tmpl_o, rp,
+                                        tag=f"run:{cfg.vae_type}")
+    assert done == 5
+
+
+def test_load_resume_rejects_mismatched_tag(tiny_dataset, tmp_path):
+    """A .resume.pt written under one sweep identity refuses to load under
+    another (code-review r5: same shapes, different sweep VALUES would
+    silently continue a mismatched state)."""
+    import optax
+    import pytest
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.engine.train import LEARNING_RATE
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", latent_dim=4)
+    model = get_model(cfg)
+    p = model.init(jax.random.PRNGKey(0), cfg, 6)
+    o = optax.adam(LEARNING_RATE).init(p)
+    path = str(tmp_path / "x.resume.pt")
+    checkpoint.save_resume(p, o, 3, path, tag="alpha:0.5,1.0:seed=0")
+    # same tag loads
+    _, _, done = checkpoint.load_resume(p, o, path,
+                                        tag="alpha:0.5,1.0:seed=0")
+    assert done == 3
+    # different sweep values refuse
+    with pytest.raises(RuntimeError, match="different sweep values"):
+        checkpoint.load_resume(p, o, path, tag="alpha:1.0,2.0:seed=0")

@@ -390,6 +390,15 @@ def apply_rng_impl(cfg: "RunConfig") -> None:
         pass  # older jax without the persistent cache
 
 
+def restart_opts(args):
+    """(-checkpoint_every, -resume) CLI flags -> engine kwargs. ONE reader
+    shared by every entry point (imputation, imputation_mnar) so all suite
+    paths interpret the flags identically — non-positive checkpoint_every
+    means 'off' (None) everywhere."""
+    ck = int(getattr(args, "checkpoint_every", 0) or 0)
+    return (ck if ck > 0 else None), bool(getattr(args, "resume", False))
+
+
 def parse_alphas(args, default):
     """Resolve the `-alphas` flag into a list of floats (the entry's
     hard-coded sweep when unset). Rejects empties/garbage loudly."""

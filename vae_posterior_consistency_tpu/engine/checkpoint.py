@@ -124,7 +124,14 @@ def save_many(pairs) -> None:
             f.result()
 
 
-def save_resume(params, opt_state, epoch: int, path: str) -> None:
+def _tag_hash(tag: str) -> np.int64:
+    import zlib
+
+    return np.int64(zlib.crc32(tag.encode("utf-8")))
+
+
+def save_resume(params, opt_state, epoch: int, path: str,
+                tag: str = "") -> None:
     """Write mid-training restart state — (params, optimizer state, epochs
     done) — in one atomic-enough `.resume.pt` file. ONE contract for every
     engine: the serial runner (engine/train.train), the stacked-pytree
@@ -135,6 +142,12 @@ def save_resume(params, opt_state, epoch: int, path: str) -> None:
     src/experiment_main/train.py:120-131; restartability intent:
     src/utils/pytorchtools.py:51-58).
 
+    `tag` is the run's sweep IDENTITY (the row VALUES — seeds/alphas/
+    missing rates — not just their counts, which is all the filename
+    encodes): its hash is stored and verified on load, so `-resume true`
+    after changing sweep values fails loudly instead of silently
+    continuing a mismatched half-trained state under the new labels.
+
     The write goes to `path + '.tmp'` first and renames into place: a crash
     DURING checkpointing must not destroy the previous good resume file."""
     import os
@@ -143,28 +156,41 @@ def save_resume(params, opt_state, epoch: int, path: str) -> None:
 
     tmp = path + ".tmp"
     save({"params": params, "opt_state": opt_state,
-          "epoch": jnp.asarray(epoch, jnp.int32)}, tmp)
+          "epoch": jnp.asarray(epoch, jnp.int32),
+          "tag": _tag_hash(tag)}, tmp)
     os.replace(tmp, path)
 
 
-def load_resume(template_params, template_opt_state, path: str):
+def load_resume(template_params, template_opt_state, path: str,
+                tag: str = ""):
     """Read a `save_resume` file back into (params, opt_state, epochs_done),
     shaped like the given templates. Raises RuntimeError with a recovery
     hint when the file's layout does not match this engine (e.g. written
-    before the pytree-runner migration, or by a different config/shape)."""
-    import jax.numpy as jnp
+    before the pytree-runner migration, or by a different config/shape), or
+    when its identity tag differs from `tag` (same shapes, different sweep
+    VALUES — e.g. `-alphas 0.5,1.0` resumed as `-alphas 1.0,2.0`)."""
+    import numpy as _np
 
     template = {"params": template_params, "opt_state": template_opt_state,
-                "epoch": jnp.zeros((), jnp.int32)}
+                "epoch": _np.zeros((), _np.int32),
+                "tag": _np.zeros((), _np.int64)}
     try:
         state = load(template, path)
     except Exception as e:
         raise RuntimeError(
             f"cannot resume from {path}: its layout does not match this "
             "engine/config (files written before the pytree-runner "
-            "migration stored a flat vector under a 'pflat' key). Delete "
-            "the .resume.pt to restart from scratch."
+            "migration stored a flat vector under a 'pflat' key; files "
+            "written before round 5 carry no identity tag). Delete the "
+            ".resume.pt to restart from scratch."
         ) from e
+    if int(state["tag"]) != int(_tag_hash(tag)):
+        raise RuntimeError(
+            f"cannot resume from {path}: it was written by a run with "
+            f"different sweep values than this one ({tag!r}). Delete the "
+            ".resume.pt to restart from scratch, or rerun with the "
+            "original sweep flags."
+        )
     return state["params"], state["opt_state"], int(state["epoch"])
 
 

@@ -299,10 +299,13 @@ def train(
 
     final_path = checkpoint.checkpoint_path(cfg, experiments_root)
     resume_path = final_path + ".resume.pt"
+    # identical tag in train_sharded: a single-chip run may resume under
+    # -mesh (the resume file is mesh-independent) and vice versa
+    resume_tag = f"run:{cfg.vae_type}"
     done = 0
     if resume and os.path.exists(resume_path):
         params, opt_state, done = checkpoint.load_resume(
-            params, opt_state, resume_path)
+            params, opt_state, resume_path, tag=resume_tag)
 
     history = []
     while done < cfg.epoch:
@@ -314,8 +317,13 @@ def train(
         )
         history.extend(jax.device_get(losses).tolist())
         done += n_e
-        if checkpoint_every and done % checkpoint_every == 0:
-            checkpoint.save_resume(params, opt_state, done, resume_path)
+        if checkpoint_every and (done % checkpoint_every == 0
+                                 or done >= cfg.epoch):
+            # the final boundary is always written, even when cfg.epoch is
+            # not a multiple of checkpoint_every (a later higher-epoch run
+            # resumes instead of retraining)
+            checkpoint.save_resume(params, opt_state, done, resume_path,
+                                   tag=resume_tag)
         if log_fn is not None:
             log_fn(done, history[-1])
         if val_fn is not None:

@@ -239,7 +239,7 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
 
 def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
                  resume_path=None, checkpoint_every=None, resume=False,
-                 shard_fn=None):
+                 shard_fn=None, resume_tag=""):
     """Drive an ensemble chunk runner to `epochs`, optionally with the
     serial engine's restart contract (engine/train.train): with
     `checkpoint_every=N` the stacked (params, opt_state, epochs-done) state
@@ -248,7 +248,10 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
     Every per-epoch key derives from the ABSOLUTE epoch index (fold_in of
     epoch0+off in _make_ensemble_chunk), so a resumed run is bit-identical
     to an uninterrupted one regardless of where it was killed
-    (tests/test_parallel.py::test_ensemble_resume_bit_identical). `shard_fn`
+    (tests/test_parallel.py::test_split_ensemble_resume_bit_identical,
+    test_seed_ensemble_resume_sharded). `resume_tag` is the ensemble's
+    sweep identity (row VALUES), verified on load so resuming under
+    changed sweep flags fails loudly (checkpoint.load_resume). `shard_fn`
     re-applies the mesh layout to freshly-loaded host state (resume would
     otherwise silently un-shard a dp-sharded ensemble). On resume, the
     returned history covers only the epochs run in THIS process (same as
@@ -262,7 +265,8 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
     done = 0
     if resume and resume_path and os.path.exists(resume_path):
         Pmat, opt_state, done = checkpoint.load_resume(Pmat, opt_state,
-                                                       resume_path)
+                                                       resume_path,
+                                                       tag=resume_tag)
         if shard_fn is not None:
             Pmat, opt_state = shard_fn(Pmat, opt_state)
     history = []
@@ -275,11 +279,12 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
         history.append(jax.device_get(hist))
         done += n_e
         if (checkpoint_every and resume_path
-                and done % checkpoint_every == 0):
-            # also written at the final boundary (serial-engine parity):
-            # a later run with a higher cfg.epoch resumes instead of
-            # retraining from scratch
-            checkpoint.save_resume(Pmat, opt_state, done, resume_path)
+                and (done % checkpoint_every == 0 or done >= epochs)):
+            # the final boundary is ALWAYS written, even when epochs is not
+            # a multiple of checkpoint_every: a later run with a higher
+            # cfg.epoch resumes instead of retraining from scratch
+            checkpoint.save_resume(Pmat, opt_state, done, resume_path,
+                                   tag=resume_tag)
     hist = (np.concatenate(history, axis=0).T if history
             else np.zeros((jax.tree_util.tree_leaves(Pmat)[0].shape[0], 0)))
     return Pmat, hist  # [S, epochs_run_here]
@@ -390,13 +395,24 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
             lambda *leaves: jnp.concatenate(leaves, axis=0),
             *[p for p, _ in parts])
         import numpy as np
-        return params, np.concatenate([h for _, h in parts], axis=0)
+
+        # on a resumed run, groups killed at different points ran different
+        # epoch counts in THIS process; left-pad each group's history with
+        # NaN to the longest (all groups end at cfg.epoch, so rows align at
+        # the tail) instead of crashing the concat after training finished
+        hists = [np.asarray(h) for _, h in parts]
+        L = max(h.shape[1] for h in hists)
+        hists = [np.pad(h, ((0, 0), (L - h.shape[1], 0)),
+                        constant_values=np.nan)
+                 if h.shape[1] < L else h for h in hists]
+        return params, np.concatenate(hists, axis=0)
     run_chunk, params_ens, opt_state = build_seed_ensemble_runner(
         dataset, cfg, seeds, mesh=mesh)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh))
+        resume=resume, shard_fn=_shard_fn(mesh),
+        resume_tag="seed:" + ",".join(str(s) for s in seeds))
     return _take_rows(params_ens, S), hist[:S]
 
 
@@ -479,7 +495,8 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh))
+        resume=resume, shard_fn=_shard_fn(mesh),
+        resume_tag=f"split:S={S}:n_seeds={n_seeds}:seed={cfg.seed}")
     return _take_rows(params_ens, S), hist[:S]
 
 
@@ -503,6 +520,7 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     model = get_model(cfg)
     alphas = list(alphas)
     S = len(alphas)
+    tag = ("alpha:" + ",".join(str(a) for a in alphas) + f":seed={seed}")
     if mesh is not None:
         dp = mesh.shape["dp"]
         alphas = alphas + [alphas[-1]] * ((-S) % dp)
@@ -522,7 +540,7 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh))
+        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag)
     return _take_rows(params_ens, S), hist[:S]
 
 
@@ -545,6 +563,7 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     model = get_model(cfg)
     rows = [(float(a), int(sd)) for a in alphas for sd in seeds]
     R = len(rows)
+    tag = "alphaseed:" + ";".join(f"{a}x{sd}" for a, sd in rows)
     if mesh is not None:
         dp = mesh.shape["dp"]
         rows = rows + [rows[-1]] * ((-R) % dp)
@@ -562,7 +581,7 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh))
+        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag)
     return _take_rows(params_ens, R), hist[:R]
 
 
@@ -646,7 +665,8 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh))
+        resume=resume, shard_fn=_shard_fn(mesh),
+        resume_tag="sweep:" + ";".join(f"{m},{a},{s}" for m, a, s in rows))
     return _take_rows(params_ens, R), hist[:R], rows
 
 

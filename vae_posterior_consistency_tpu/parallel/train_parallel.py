@@ -224,10 +224,14 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
 
     resume_path = (checkpoint.checkpoint_path(cfg, experiments_root)
                    + ".resume.pt")
+    # same tag as engine/train.train: the file is mesh-independent, so a
+    # single-chip run may resume sharded and vice versa
+    resume_tag = f"run:{cfg.vae_type}"
     done = 0
     if resume and os.path.exists(resume_path):
         params, opt_state, done = checkpoint.load_resume(params, opt_state,
-                                                         resume_path)
+                                                         resume_path,
+                                                         tag=resume_tag)
         params = jax.device_put(params, p_shard)
         opt_state = jax.device_put(opt_state, opt_shard)
 
@@ -240,11 +244,13 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
                                             jnp.asarray(done), n_e)
         history.append(jax.device_get(hist))
         done += n_e
-        if checkpoint_every and done % checkpoint_every == 0:
-            # also written at the final boundary (serial-engine parity)
+        if checkpoint_every and (done % checkpoint_every == 0
+                                 or done >= cfg.epoch):
+            # the final boundary is always written, even when cfg.epoch is
+            # not a multiple of checkpoint_every (serial-engine parity)
             checkpoint.save_resume(jax.device_get(params),
                                    jax.device_get(opt_state), done,
-                                   resume_path)
+                                   resume_path, tag=resume_tag)
     if save:
         # same mangled checkpoint path as the single-chip engine (the layout
         # is mesh-independent: leaves gather to host arrays on save)
