@@ -274,10 +274,12 @@ def main():
     # ensemble regime: the same flagship config trained as a 128-seed vmapped
     # ensemble (parallel/sweep.py) — the sweep-parallel execution mode that
     # actually loads the MXU (tools/bench_scaling.py has the batch sweep).
-    # 128 replicas ~ the production sweep size (39 configs x 4 seeds) AND
-    # the measured knee of the round-4 replica x batch saturation map
-    # (tools/bench_ensemble_sweep.py; RESULTS.md — throughput ROLLS OVER
-    # past S~256 at batch 64, and raising batch beats raising replicas)
+    # 128 replicas ~ the production sweep size (39 configs x 4 seeds); the
+    # round-5 re-measured saturation map (tools/bench_ensemble_sweep.py;
+    # RESULTS.md "Ensemble rollover") puts the b64 knee at S=256 with S=128
+    # within noise of it, and the regime's best point at S=128 x b256 —
+    # wide-S programs use the per-step-gather layout and >512-replica
+    # requests train as sequential groups (parallel/sweep.py)
     ens_n = 128
     ens_sps = _bench_seed_ensemble(n_seeds=ens_n)
     ens_tflops = ens_sps * fps / 1e12
