@@ -63,7 +63,10 @@ PER_STEP_GATHER_MIN_S = 128
 #: draws untouched; only FP reassociation across differently-sized
 #: compiled programs can move values, at rounding level (~1e-6 — pinned by
 #: tests/test_parallel.py::test_seed_ensemble_group_split_equivalence).
-#: The narrower programs run ~25% faster per replica at S=1024.
+#: Measured end-to-end at a 300-epoch budget: grouped S=1024 runs 30.4M
+#: samples/s vs the one-program 25.6M (+19%, near the S=512 program's
+#: 31.9M); per-group trace/load overhead amortizes from ~50 epochs up
+#: (RESULTS.md "Ensemble rollover").
 SEED_GROUP_MAX_S = 512
 
 
