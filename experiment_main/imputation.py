@@ -219,8 +219,7 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
         # rows with different alphas cannot share one vmapped eval program.
         params_host = _jax.device_get(params_ens)
         checkpoint.save_many([
-            (sweep.ensemble_replica(params_host, i * n_seeds + si
-                                    if n_seeds > 1 else i),
+            (sweep.ensemble_replica(params_host, i * n_seeds + si),
              checkpoint.checkpoint_path(cfg.replace(alpha=a), "experiments")
              + checkpoint.seed_suffix(si))
             for i, a in enumerate(cfg_alphas) for si in range(n_seeds)])
@@ -228,7 +227,7 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
             cfg_a = cfg.replace(alpha=a)
             per_seed = []
             for si in range(n_seeds):
-                row = i * n_seeds + si if n_seeds > 1 else i
+                row = i * n_seeds + si
                 p_r = sweep.ensemble_replica(params_host, row)
                 per_seed.append(eval_engine.eval_vae(dataset, cfg_a,
                                                      params=p_r,

@@ -334,7 +334,6 @@ def test_train_resume_final_boundary_not_multiple(tiny_dataset, tmp_path):
     T.train(ds, cfg, experiments_root=str(tmp_path), checkpoint_every=2)
     rp = checkpoint.checkpoint_path(cfg, str(tmp_path)) + ".resume.pt"
     assert os.path.exists(rp)
-    model_params, model_opt, done = None, None, None
     # read back the epoch counter: it must be 5, not 4
     from vae_posterior_consistency_tpu.models import get_model
     import optax
@@ -344,8 +343,9 @@ def test_train_resume_final_boundary_not_multiple(tiny_dataset, tmp_path):
     model = get_model(cfg)
     tmpl_p = model.init(jax.random.PRNGKey(0), cfg, ds.obs_dim)
     tmpl_o = optax.adam(LEARNING_RATE).init(tmpl_p)
-    _, _, done = checkpoint.load_resume(tmpl_p, tmpl_o, rp,
-                                        tag=f"run:{cfg.vae_type}")
+    _, _, done = checkpoint.load_resume(
+        tmpl_p, tmpl_o, rp,
+        tag=f"run:{cfg.vae_type}:seed={cfg.seed}:batch={cfg.batch_size}")
     assert done == 5
 
 
@@ -373,3 +373,92 @@ def test_load_resume_rejects_mismatched_tag(tiny_dataset, tmp_path):
     # different sweep values refuse
     with pytest.raises(RuntimeError, match="different sweep values"):
         checkpoint.load_resume(p, o, path, tag="alpha:1.0,2.0:seed=0")
+
+
+def test_train_resume_rejects_smaller_epoch_budget(tiny_dataset, tmp_path):
+    """Resuming a completed (or further-along) run under a SMALLER -epoch
+    must fail loudly (code-review r5): the filename encodes no epoch count,
+    so without the guard the over-trained params would be republished —
+    with zero training — under the smaller budget's labels."""
+    import pytest
+
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=6,
+                    batch_size=32, latent_dim=4)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    T.train(ds, cfg, experiments_root=str(tmp_path), checkpoint_every=3)
+    with pytest.raises(RuntimeError, match="already trained"):
+        T.train(ds, cfg.replace(epoch=4), experiments_root=str(tmp_path),
+                resume=True)
+    # equal budget is fine (idempotent re-publish of the finished run)
+    T.train(ds, cfg, experiments_root=str(tmp_path), resume=True)
+
+
+def test_train_resume_rejects_changed_seed_or_batch(tiny_dataset, tmp_path):
+    """The serial/sharded resume tag carries seed and batch_size — neither
+    is in the checkpoint filename, so `-resume true` after changing either
+    must refuse instead of silently continuing the old run's state under
+    the new labels (code-review r5)."""
+    import pytest
+
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import train as T
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=4,
+                    batch_size=32, latent_dim=4, seed=0)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    T.train(ds, cfg.replace(epoch=2), experiments_root=str(tmp_path),
+            checkpoint_every=2)
+    with pytest.raises(RuntimeError, match="different sweep values"):
+        T.train(ds, cfg.replace(seed=1), experiments_root=str(tmp_path),
+                resume=True)
+    with pytest.raises(RuntimeError, match="different sweep values"):
+        T.train(ds, cfg.replace(batch_size=16), experiments_root=str(tmp_path),
+                resume=True)
+
+
+def test_ensemble_checkpoint_every_requires_resume_path(tiny_dataset):
+    """checkpoint_every/resume without resume_path on the ensemble trainers
+    raises instead of silently writing no checkpoints (code-review r5)."""
+    import pytest
+
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel import sweep
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=2,
+                    batch_size=32, latent_dim=4)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    with pytest.raises(ValueError, match="resume_path"):
+        sweep.train_seed_ensemble(ds, cfg, seeds=[0, 1], checkpoint_every=1)
+
+
+def test_checkpoint_every_does_not_change_early_stopping(tiny_dataset,
+                                                         tmp_path):
+    """checkpoint_every is a pure-restartability knob: with early stopping
+    active it must not change which epochs are validated — and therefore
+    which parameters the run produces (code-review r5: the chunk clamp used
+    to quadruple the validation cadence)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.engine import train as T
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EarlyStopping,
+    )
+
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small", epoch=8,
+                    batch_size=32, latent_dim=4)
+    ds = loaders.data_loader(tiny_dataset, cfg.vae_type, 30, 32, "synth_small")
+    p_plain, h_plain = T.train(ds, cfg, experiments_root=str(tmp_path / "a"),
+                               chunk_epochs=4, save=False,
+                               early_stopping=EarlyStopping(patience=1))
+    p_ckpt, h_ckpt = T.train(ds, cfg, experiments_root=str(tmp_path / "b"),
+                             chunk_epochs=4, checkpoint_every=1, save=False,
+                             early_stopping=EarlyStopping(patience=1))
+    # same stopping epoch (the cadence contract), same training trajectory
+    # (up to FP reassociation across differently-sized chunk programs)
+    assert len(h_plain) == len(h_ckpt)
+    np.testing.assert_allclose(h_plain, h_ckpt, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_ckpt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

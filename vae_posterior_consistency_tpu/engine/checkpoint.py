@@ -98,7 +98,11 @@ def load(template_params, path: str):
             raise ValueError(
                 f"checkpoint leaf {key!r} has shape {arr.shape}, expected {leaf.shape}"
             )
-        new_leaves.append(arr.astype(np.asarray(leaf).dtype))
+        # leaf.dtype, not np.asarray(leaf).dtype: asarray would device_get
+        # every template leaf (3x model size x S replicas for a stacked
+        # ensemble resume) just to read a dtype
+        dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
+        new_leaves.append(arr.astype(dtype))
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
@@ -162,13 +166,19 @@ def save_resume(params, opt_state, epoch: int, path: str,
 
 
 def load_resume(template_params, template_opt_state, path: str,
-                tag: str = ""):
+                tag: str = "", max_epochs: int | None = None):
     """Read a `save_resume` file back into (params, opt_state, epochs_done),
     shaped like the given templates. Raises RuntimeError with a recovery
     hint when the file's layout does not match this engine (e.g. written
     before the pytree-runner migration, or by a different config/shape), or
     when its identity tag differs from `tag` (same shapes, different sweep
-    VALUES — e.g. `-alphas 0.5,1.0` resumed as `-alphas 1.0,2.0`)."""
+    VALUES — e.g. `-alphas 0.5,1.0` resumed as `-alphas 1.0,2.0`), or when
+    the file's epochs-done exceeds `max_epochs` (the filename encodes no
+    epoch count, so without this guard a completed 3000-epoch run resumed
+    under `-epoch 1000` would skip training entirely and publish the
+    over-trained params under the smaller budget's labels)."""
+    import pickle
+
     import numpy as _np
 
     template = {"params": template_params, "opt_state": template_opt_state,
@@ -176,7 +186,10 @@ def load_resume(template_params, template_opt_state, path: str,
                 "tag": _np.zeros((), _np.int64)}
     try:
         state = load(template, path)
-    except Exception as e:
+    # only structural mismatches get the delete-the-file advice; genuine
+    # I/O failures (OSError, MemoryError) propagate untouched — deleting a
+    # good resume file over a transient read error would lose the run
+    except (KeyError, ValueError, TypeError, pickle.UnpicklingError) as e:
         raise RuntimeError(
             f"cannot resume from {path}: its layout does not match this "
             "engine/config (files written before the pytree-runner "
@@ -191,7 +204,15 @@ def load_resume(template_params, template_opt_state, path: str,
             ".resume.pt to restart from scratch, or rerun with the "
             "original sweep flags."
         )
-    return state["params"], state["opt_state"], int(state["epoch"])
+    done = int(state["epoch"])
+    if max_epochs is not None and done > max_epochs:
+        raise RuntimeError(
+            f"cannot resume from {path}: it has already trained {done} "
+            f"epochs but this run asks for only {max_epochs}. Delete the "
+            ".resume.pt to retrain from scratch at the smaller budget, or "
+            "rerun with the original -epoch."
+        )
+    return state["params"], state["opt_state"], done
 
 
 def seed_suffix(s: int) -> str:

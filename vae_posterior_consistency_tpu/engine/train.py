@@ -300,18 +300,28 @@ def train(
     final_path = checkpoint.checkpoint_path(cfg, experiments_root)
     resume_path = final_path + ".resume.pt"
     # identical tag in train_sharded: a single-chip run may resume under
-    # -mesh (the resume file is mesh-independent) and vice versa
-    resume_tag = f"run:{cfg.vae_type}"
+    # -mesh (the resume file is mesh-independent) and vice versa. seed and
+    # batch_size are tagged because the checkpoint filename encodes
+    # neither: resuming under a changed -seed/-batch_size must fail loudly
+    # instead of silently continuing the old run's state under new labels
+    resume_tag = f"run:{cfg.vae_type}:seed={cfg.seed}:batch={cfg.batch_size}"
     done = 0
     if resume and os.path.exists(resume_path):
         params, opt_state, done = checkpoint.load_resume(
-            params, opt_state, resume_path, tag=resume_tag)
+            params, opt_state, resume_path, tag=resume_tag,
+            max_epochs=cfg.epoch)
 
     history = []
     while done < cfg.epoch:
         n_e = min(chunk_epochs, cfg.epoch - done)
         if checkpoint_every:
             n_e = min(n_e, checkpoint_every - done % checkpoint_every)
+        if val_fn is not None:
+            # pin the validation cadence to chunk_epochs multiples:
+            # checkpoint_every is a pure-restartability knob and must not
+            # change which epochs early stopping validates at (it would
+            # otherwise exhaust patience at a different epoch)
+            n_e = min(n_e, chunk_epochs - done % chunk_epochs)
         params, opt_state, losses = runner(
             params, opt_state, k_run, jnp.asarray(done), n_e
         )
@@ -326,7 +336,8 @@ def train(
                                    tag=resume_tag)
         if log_fn is not None:
             log_fn(done, history[-1])
-        if val_fn is not None:
+        if val_fn is not None and (done % chunk_epochs == 0
+                                   or done >= cfg.epoch):
             vloss = float(val_fn(params, k_val))
             # snapshot to host: the live arrays are DONATED to the next
             # chunk call, which would delete a stored device reference

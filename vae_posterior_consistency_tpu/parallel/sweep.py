@@ -265,11 +265,19 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
 
     from vae_posterior_consistency_tpu.engine import checkpoint
 
+    if (checkpoint_every or resume) and not resume_path:
+        # the serial engine derives its resume path from the config; the
+        # ensemble trainers cannot (one file covers many sweep rows), so a
+        # missing path must fail loudly instead of silently writing nothing
+        raise ValueError(
+            "checkpoint_every/resume require resume_path on the ensemble "
+            "trainers (the CLI derives it; API callers must pass one)")
     done = 0
-    if resume and resume_path and os.path.exists(resume_path):
+    if resume and os.path.exists(resume_path):
         Pmat, opt_state, done = checkpoint.load_resume(Pmat, opt_state,
                                                        resume_path,
-                                                       tag=resume_tag)
+                                                       tag=resume_tag,
+                                                       max_epochs=epochs)
         if shard_fn is not None:
             Pmat, opt_state = shard_fn(Pmat, opt_state)
     history = []
@@ -281,7 +289,7 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
                                           n_e)
         history.append(jax.device_get(hist))
         done += n_e
-        if (checkpoint_every and resume_path
+        if (checkpoint_every
                 and (done % checkpoint_every == 0 or done >= epochs)):
             # the final boundary is ALWAYS written, even when epochs is not
             # a multiple of checkpoint_every: a later run with a higher
@@ -415,7 +423,8 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
-        resume_tag="seed:" + ",".join(str(s) for s in seeds))
+        resume_tag=("seed:" + ",".join(str(s) for s in seeds)
+                    + f":batch={cfg.batch_size}"))
     return _take_rows(params_ens, S), hist[:S]
 
 
@@ -499,7 +508,8 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
-        resume_tag=f"split:S={S}:n_seeds={n_seeds}:seed={cfg.seed}")
+        resume_tag=(f"split:S={S}:n_seeds={n_seeds}:seed={cfg.seed}"
+                    + f":batch={cfg.batch_size}"))
     return _take_rows(params_ens, S), hist[:S]
 
 
@@ -523,7 +533,8 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     model = get_model(cfg)
     alphas = list(alphas)
     S = len(alphas)
-    tag = ("alpha:" + ",".join(str(a) for a in alphas) + f":seed={seed}")
+    tag = ("alpha:" + ",".join(str(a) for a in alphas)
+           + f":seed={seed}:batch={cfg.batch_size}")
     if mesh is not None:
         dp = mesh.shape["dp"]
         alphas = alphas + [alphas[-1]] * ((-S) % dp)
@@ -566,7 +577,8 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     model = get_model(cfg)
     rows = [(float(a), int(sd)) for a in alphas for sd in seeds]
     R = len(rows)
-    tag = "alphaseed:" + ";".join(f"{a}x{sd}" for a, sd in rows)
+    tag = ("alphaseed:" + ";".join(f"{a}x{sd}" for a, sd in rows)
+           + f":batch={cfg.batch_size}")
     if mesh is not None:
         dp = mesh.shape["dp"]
         rows = rows + [rows[-1]] * ((-R) % dp)
@@ -669,7 +681,8 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
-        resume_tag="sweep:" + ";".join(f"{m},{a},{s}" for m, a, s in rows))
+        resume_tag=("sweep:" + ";".join(f"{m},{a},{s}" for m, a, s in rows)
+                    + f":batch={cfg.batch_size}"))
     return _take_rows(params_ens, R), hist[:R], rows
 
 

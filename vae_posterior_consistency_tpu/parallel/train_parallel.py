@@ -225,13 +225,15 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     resume_path = (checkpoint.checkpoint_path(cfg, experiments_root)
                    + ".resume.pt")
     # same tag as engine/train.train: the file is mesh-independent, so a
-    # single-chip run may resume sharded and vice versa
-    resume_tag = f"run:{cfg.vae_type}"
+    # single-chip run may resume sharded and vice versa (seed/batch_size
+    # are tagged because the filename encodes neither)
+    resume_tag = f"run:{cfg.vae_type}:seed={cfg.seed}:batch={cfg.batch_size}"
     done = 0
     if resume and os.path.exists(resume_path):
         params, opt_state, done = checkpoint.load_resume(params, opt_state,
                                                          resume_path,
-                                                         tag=resume_tag)
+                                                         tag=resume_tag,
+                                                         max_epochs=cfg.epoch)
         params = jax.device_put(params, p_shard)
         opt_state = jax.device_put(opt_state, opt_shard)
 
