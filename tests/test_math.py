@@ -112,3 +112,14 @@ def test_normalizations(how):
         out = np.asarray(M.standardize(jnp.asarray(x)))
         np.testing.assert_allclose(out.mean(0), 0, atol=1e-5)
         np.testing.assert_allclose(out.std(0, ddof=1), 1, atol=1e-4)
+
+
+def test_check_interval():
+    # reference: src/utils/utils.py:8-15 (scalar -> 1-element BoolTensor)
+    assert bool(M.check(0.5, 0.0, 1.0))
+    assert bool(M.check(0.0, 0.0, 1.0)) and bool(M.check(1.0, 0.0, 1.0))
+    assert not bool(M.check(-0.1, 0.0, 1.0))
+    assert not bool(M.check(1.1, 0.0, 1.0))
+    # elementwise form (vectorizes; works under jit)
+    out = np.asarray(M.check(jnp.asarray([-1.0, 0.5, 2.0]), 0.0, 1.0))
+    np.testing.assert_array_equal(out, [False, True, False])

@@ -152,6 +152,15 @@ def masked_rmse(x_hat, x, hole_mask):
     return jnp.sqrt(se / jnp.maximum(jnp.sum(hole_mask), 1.0))
 
 
+def check(x, a, b):
+    """Whether `x` falls inside the closed interval [a, b], as a bool array
+    (reference: src/utils/utils.py:8-15, which returns a 1-element
+    BoolTensor for a scalar `x`). Elementwise here, so it vectorizes and
+    works under jit; a scalar input yields a scalar bool."""
+    x = jnp.asarray(x)
+    return jnp.logical_and(a <= x, x <= b)
+
+
 def minmax_normalize(data, axis=0):
     """Min-max scale to [0,1] per column (reference: src/utils/loaders.py:327-332)."""
     lo = jnp.min(data, axis=axis, keepdims=True)
