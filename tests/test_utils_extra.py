@@ -462,3 +462,25 @@ def test_checkpoint_every_does_not_change_early_stopping(tiny_dataset,
     for a, b in zip(jax.tree_util.tree_leaves(p_plain),
                     jax.tree_util.tree_leaves(p_ckpt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_save_many_roundtrips_each_replica(tmp_path):
+    """checkpoint.save_many (the threaded ensemble save path, VERDICT r4
+    item 4) writes every (params, path) pair identically to a serial
+    checkpoint.save: each file loads back bit-equal to its replica."""
+    import numpy as np
+
+    from vae_posterior_consistency_tpu.engine import checkpoint
+    from vae_posterior_consistency_tpu.models import get_model
+
+    cfg = RunConfig(vae_type="vanilla_vae1", latent_dim=4)
+    model = get_model(cfg)
+    replicas = [model.init(jax.random.PRNGKey(s), cfg, 6) for s in range(5)]
+    pairs = [(jax.device_get(p), str(tmp_path / f"r{s}.pt"))
+             for s, p in enumerate(replicas)]
+    checkpoint.save_many(pairs)
+    for (p, path), orig in zip(pairs, replicas):
+        got = checkpoint.load(orig, path)
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(orig)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
