@@ -38,6 +38,7 @@ enable_nan_debugging_from_env()
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
+    early_stopper,
     iter_jsonl_configs,
     maybe_profile,
     parse_alphas,
@@ -77,12 +78,12 @@ def _group_records(records):
 
 
 def _train_and_eval_one(dataset, cfg, mesh, checkpoint_every=None,
-                        resume=False):
+                        resume=False, early_stopping=None):
     """Train + eval ONE config, honoring `-mesh` (multi-chip engine when a
-    mesh is resolved, single-chip otherwise) and the -checkpoint_every /
-    -resume restart flags. Shared by the serial grid and the ensemble
-    path's unequal-shapes fallback so the two dispatch blocks cannot drift
-    apart."""
+    mesh is resolved, single-chip otherwise), the -checkpoint_every /
+    -resume restart flags, and `-early_stop`. Shared by the serial grid and
+    the ensemble path's unequal-shapes fallback so the two dispatch blocks
+    cannot drift apart."""
     if mesh is not None:
         # multi-chip engine: batch dp-sharded, wide params tp-sharded;
         # same checkpoint/artifact contract
@@ -94,17 +95,19 @@ def _train_and_eval_one(dataset, cfg, mesh, checkpoint_every=None,
         )
 
         train_sharded(dataset, cfg, mesh, save=True,
-                      checkpoint_every=checkpoint_every, resume=resume)
+                      checkpoint_every=checkpoint_every, resume=resume,
+                      early_stopping=early_stopping)
         print(f"=== eval {cfg.vae_type} ===")
         return eval_vae_sharded(dataset, cfg, mesh)
     train_engine.train(dataset, cfg, log_fn=epoch_logger(cfg.epoch),
-                       checkpoint_every=checkpoint_every, resume=resume)
+                       checkpoint_every=checkpoint_every, resume=resume,
+                       early_stopping=early_stopping)
     print(f"=== eval {cfg.vae_type} ===")
     return eval_engine.eval_vae(dataset, cfg)
 
 
 def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds, checkpoint_every=None,
-                          resume=False):
+                          resume=False, early_stopping=None):
     """`-seeds N` on the serial (non-ensemble) grid: the N seed replicas of
     ONE config train as a single seed-ensemble program
     (parallel/sweep.train_seed_ensemble) and evaluate as one vmapped
@@ -134,7 +137,7 @@ def _train_and_eval_seeds(dataset, cfg, mesh, n_seeds, checkpoint_every=None,
         dataset, cfg, seeds, mesh=mesh, checkpoint_every=checkpoint_every,
         resume=resume,
         resume_path=checkpoint.checkpoint_path(cfg, "experiments")
-        + f".seeds{n_seeds}.resume.pt")
+        + f".seeds{n_seeds}.resume.pt", early_stopping=early_stopping)
     _jax.block_until_ready(_hist)
     # ONE stacked device_get; replicas slice on host (VERDICT r4 item 4 —
     # per-row ensemble_replica cost a device slice + transfer RTT per seed)
@@ -205,11 +208,13 @@ def run_suite_alpha_ensembles(records, missing, alphas, n_seeds=1):
             seeds = [cfg.seed + si for si in range(n_seeds)]
             params_ens, hist = sweep.train_alpha_seed_ensemble(
                 dataset, cfg, cfg_alphas, seeds, mesh=mesh,
-                checkpoint_every=ck, resume=rs, resume_path=rp)
+                checkpoint_every=ck, resume=rs, resume_path=rp,
+                early_stopping=early_stopper(args, cfg, ensemble=True))
         else:
             params_ens, hist = sweep.train_alpha_ensemble(
                 dataset, cfg, cfg_alphas, seed=cfg.seed, mesh=mesh,
-                checkpoint_every=ck, resume=rs, resume_path=rp)
+                checkpoint_every=ck, resume=rs, resume_path=rp,
+                early_stopping=early_stopper(args, cfg, ensemble=True))
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -299,7 +304,8 @@ def run_suite_sweep_ensembles(records, missings, alphas, n_seeds=1):
             mesh=mesh, checkpoint_every=ck, resume=rs,
             resume_path=checkpoint.checkpoint_path(cfg, "experiments")
             + f".sweep{len(cfg_miss) * len(cfg_alphas) * n_seeds}"
-            ".resume.pt")
+            ".resume.pt",
+            early_stopping=early_stopper(args, cfg, ensemble=True))
         _jax.block_until_ready(hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -406,7 +412,8 @@ def run_suite_ensembles(records, missing, alpha):
             datasets, cfgs[0], mesh=mesh, n_seeds=n_seeds,
             checkpoint_every=ck, resume=rs,
             resume_path=checkpoint.checkpoint_path(cfgs[0], "experiments")
-            + f".ens{len(cfgs) * n_seeds}.resume.pt")
+            + f".ens{len(cfgs) * n_seeds}.resume.pt",
+            early_stopping=early_stopper(args, cfgs[0], ensemble=True))
         _jax.block_until_ready(_hist)
         t_train = _time.perf_counter() - t0
         t0 = _time.perf_counter()
@@ -538,18 +545,19 @@ def _run_grid(records, probe):
                 if n_seeds > 1:
                     # error bars without -ensemble: each record's N seed
                     # replicas run as one program (_train_and_eval_seeds)
-                    results = _train_and_eval_seeds(dataset, cfg, mesh,
-                                                    n_seeds,
-                                                    checkpoint_every=ck,
-                                                    resume=rs)
+                    results = _train_and_eval_seeds(
+                        dataset, cfg, mesh, n_seeds, checkpoint_every=ck,
+                        resume=rs,
+                        early_stopping=early_stopper(args, cfg,
+                                                     ensemble=True))
                     for stage, metrics in results.items():
                         print(f"  [{stage}] " + "  ".join(
                             f"{k}={mu:.5f}±{sd:.5f}"
                             for k, (mu, sd) in metrics.items()))
                     continue
-                results = _train_and_eval_one(dataset, cfg, mesh,
-                                              checkpoint_every=ck,
-                                              resume=rs)
+                results = _train_and_eval_one(
+                    dataset, cfg, mesh, checkpoint_every=ck, resume=rs,
+                    early_stopping=early_stopper(args, cfg))
                 for stage, metrics in results.items():
                     print(f"  [{stage}] " + "  ".join(
                         f"{k}={v:.5f}" for k, v in metrics.items()))

@@ -37,6 +37,7 @@ enable_nan_debugging_from_env()
 from vae_posterior_consistency_tpu.config import (
     RunConfig,
     apply_rng_impl,
+    early_stopper,
     iter_jsonl_configs,
     maybe_profile,
     resolve_mesh,
@@ -98,7 +99,9 @@ def _run_grid(records):
                 if n_seeds > 1:
                     _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing,
                                        alpha, tag, checkpoint_every=ck,
-                                       resume=rs)
+                                       resume=rs,
+                                       early_stopping=early_stopper(
+                                           args, cfg, ensemble=True))
                     continue
                 print(f"=== train {cfg.vae_type} (MNAR, missing={missing}, "
                       f"alpha={alpha}){tag} ===", flush=True)
@@ -110,14 +113,18 @@ def _run_grid(records):
                     )
 
                     params, _ = train_sharded(dataset, cfg, mesh, save=True,
-                                              checkpoint_every=ck, resume=rs)
+                                              checkpoint_every=ck, resume=rs,
+                                              early_stopping=early_stopper(
+                                                  args, cfg))
                     # MNAR eval is one full-matrix pass x M — cheap; gather
                     # the trained params and reuse the single-program engine
                     params = jax.device_get(params)
                 else:
                     train_engine.train(dataset, cfg,
                                        log_fn=epoch_logger(cfg.epoch),
-                                       checkpoint_every=ck, resume=rs)
+                                       checkpoint_every=ck, resume=rs,
+                                       early_stopping=early_stopper(args,
+                                                                    cfg))
                 t_train = time.perf_counter() - t0
                 print(f"=== eval {cfg.vae_type} (MNAR) ===", flush=True)
                 t0 = time.perf_counter()
@@ -130,7 +137,8 @@ def _run_grid(records):
 
 
 def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag,
-                       checkpoint_every=None, resume=False):
+                       checkpoint_every=None, resume=False,
+                       early_stopping=None):
     """-seeds N: train N independent seed replicas of this MNAR config as ONE
     vmapped program (parallel/sweep.train_seed_ensemble; replicas dp-shard
     over a mesh with padding), evaluate all replicas in one compiled MNAR
@@ -147,7 +155,7 @@ def _run_seed_ensemble(cfg, dataset, mesh, n_seeds, missing, alpha, tag,
         dataset, cfg, seeds=[cfg.seed + s for s in range(n_seeds)], mesh=mesh,
         checkpoint_every=checkpoint_every, resume=resume,
         resume_path=checkpoint.checkpoint_path(cfg, "experiments")
-        + f".seeds{n_seeds}.resume.pt")
+        + f".seeds{n_seeds}.resume.pt", early_stopping=early_stopping)
     jax.block_until_ready(hist)
     t_train = time.perf_counter() - t0
     t0 = time.perf_counter()

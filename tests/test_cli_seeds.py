@@ -57,3 +57,27 @@ def test_seeds_pipeline_imputation_then_ais(tmp_path, tiny_dataset):
              / "elbos" / "30_missing" / "4_epochs")
     assert (elbos / "train_ais.pt").exists()
     assert (elbos / "train_ais.pt.seed1").exists()
+
+
+def test_cli_early_stop_smoke(tmp_path, tiny_dataset):
+    """`-early_stop true` wires utils.early_stopping into the serial grid
+    (config.early_stopper, thresholded by the record's `patience` field —
+    the knob the reference ships in every JSONL record but never consumes,
+    src/experiment_main/train.py:4). A 4-epoch run performs its end-of-run
+    validation check (the verbose improvement line proves the tracker ran)
+    and still writes the reference-contract artifacts."""
+    common = dict(data_type="synth_small", epoch=4, batch_size=16, M=2,
+                  train_k=2, valid_k=3, latent_dim=4, hid_dim=64, patience=2)
+    make_sandbox(tmp_path, tiny_dataset, [
+        grid_record(vae_type="vanilla_vae1", missing_rate=30, **common),
+    ])
+
+    out = subprocess.run(
+        ["python3", entry("imputation.py"), "-early_stop", "true"],
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "Validation loss decreased" in out.stdout
+    ck = (tmp_path / "experiments" / "UCI_experiments_consistency_missingness"
+          / "synth_small" / "checkpoints" / "vanilla_vae")
+    assert (ck / "checkpoint_vanilla_vae1_30_missing_rate_test.pt").exists()

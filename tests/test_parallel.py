@@ -1142,3 +1142,138 @@ def test_seed_ensemble_group_resume_uneven_histories(
     # group 0 ran nothing in the resumed process: NaN rows; group 1 real
     assert np.isnan(h_res[:2]).all()
     np.testing.assert_array_equal(h_res[2:], h_full[2:])
+
+
+def test_ensemble_early_stopping_per_replica_tracker():
+    """EnsembleEarlyStopping unit semantics: independent per-replica
+    counters, best-row snapshots that MIX checks, and a stop only when
+    EVERY replica has exhausted patience."""
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EnsembleEarlyStopping,
+    )
+
+    es = EnsembleEarlyStopping(patience=2)
+    p1 = {"w": np.arange(6, dtype=np.float32).reshape(3, 2)}
+    # first check: every row improves from inf and snapshots in full
+    assert not es.update(np.array([3.0, 3.0, 3.0]), p1)
+    np.testing.assert_array_equal(es.counter, [0, 0, 0])
+    # second: only row 1 improves; rows 0/2 count up
+    p2 = {"w": p1["w"] + 100}
+    assert not es.update(np.array([3.0, 2.0, 4.0]), p2)
+    np.testing.assert_array_equal(es.counter, [1, 0, 1])
+    # best rows mix the two checks: rows 0/2 keep p1, row 1 takes p2
+    np.testing.assert_array_equal(es.best_params["w"][0], p1["w"][0])
+    np.testing.assert_array_equal(es.best_params["w"][1], p2["w"][1])
+    np.testing.assert_array_equal(es.best_params["w"][2], p1["w"][2])
+    # third: nobody improves — rows 0/2 exhaust patience, row 1 does not
+    assert not es.update(np.array([5.0, 5.0, 5.0]), p2)
+    np.testing.assert_array_equal(es.counter, [2, 1, 2])
+    # fourth: row 1 exhausts too -> the WHOLE ensemble stops
+    assert es.update(np.array([5.0, 5.0, 5.0]), p2)
+    np.testing.assert_array_equal(es.best_loss, [3.0, 2.0, 3.0])
+
+
+def test_seed_ensemble_early_stopping_stops_and_restores(tiny_dataset):
+    """A forced plateau (delta=1e9 makes every post-first check a
+    non-improvement) stops the seed ensemble after `patience` chunk-boundary
+    checks and returns each replica's FIRST-check parameters — bit-equal to
+    the same ensemble trained only to that boundary."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EnsembleEarlyStopping,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32,
+                             "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    epoch=20, batch_size=32, latent_dim=4)
+    es = EnsembleEarlyStopping(patience=2, delta=1e9)
+    params, hist = sweep.train_seed_ensemble(ds, cfg, [0, 1, 2],
+                                             chunk_epochs=2,
+                                             early_stopping=es)
+    # checks at epoch 2 (first: improves), 4 (counter 1), 6 (counter 2
+    # >= patience -> stop): 6 of the requested 20 epochs ran
+    assert hist.shape == (3, 6)
+    ref_params, _ = sweep.train_seed_ensemble(ds, cfg.replace(epoch=2),
+                                              [0, 1, 2], chunk_epochs=2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_split_ensemble_early_stopping(tiny_dataset):
+    """Per-replica early stopping on the split ensemble (stacked
+    per-replica validation tables): plateau stop + first-check restore."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EnsembleEarlyStopping,
+    )
+
+    cfgs = [RunConfig(vae_type=f"reg_vae{i}", data_type="synth_small",
+                      epoch=20, batch_size=32, latent_dim=4,
+                      p_missingness=30) for i in "123"]
+    datasets = [loaders.data_loader(tiny_dataset, c.vae_type, 30, 32,
+                                    "synth_small") for c in cfgs]
+    es = EnsembleEarlyStopping(patience=1, delta=1e9)
+    params, hist = sweep.train_split_ensemble(datasets, cfgs[0],
+                                              chunk_epochs=2,
+                                              early_stopping=es)
+    # checks at epoch 2 (first: improves), 4 (counter 1 >= patience)
+    assert hist.shape == (3, 4)
+    ref_params, _ = sweep.train_split_ensemble(
+        datasets, cfgs[0].replace(epoch=2), chunk_epochs=2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sweep_ensemble_early_stopping_swept_knobs(tiny_dataset):
+    """The stacked validation objective honors the swept per-row knobs
+    (alpha AND p_missingness enter each row's own val loss) and the
+    plateau stop works on the full sweep product."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EnsembleEarlyStopping,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=20,
+                    batch_size=32, latent_dim=4, p_missingness=30)
+    es = EnsembleEarlyStopping(patience=1, delta=1e9)
+    params, hist, rows = sweep.train_sweep_ensemble(
+        ds, cfg, missings=[20, 40], alphas=[0.5, 1.0], chunk_epochs=2,
+        early_stopping=es)
+    assert hist.shape == (4, 4)
+    assert len(rows) == 4
+    # the per-row val losses must differ across alpha rows at a fixed rate
+    # (alpha scales the kl_reg composite) — identical values would mean the
+    # swept knob never reached its row's validation objective
+    assert es.best_loss is not None
+    assert not np.isclose(es.best_loss[0], es.best_loss[1])
+
+
+def test_train_sharded_early_stopping(tiny_dataset):
+    """train_sharded carries the serial engine's early-stopping contract on
+    the 8-device mesh: plateau stop + best(first)-check restore."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.parallel.train_parallel import (
+        train_sharded,
+    )
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EarlyStopping,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "reg_vae1", 30, 32, "synth_small")
+    cfg = RunConfig(vae_type="reg_vae1", reg_type="kl_reg", epoch=20,
+                    batch_size=32, latent_dim=4, p_missingness=30)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    es = EarlyStopping(patience=1, delta=1e9)
+    params, hist = train_sharded(ds, cfg, mesh, chunk_epochs=2,
+                                 early_stopping=es)
+    # checks at epoch 2 (improves) and 4 (counter 1 >= patience -> stop)
+    assert hist.shape == (4,)
+    ref_params, _ = train_sharded(ds, cfg.replace(epoch=2), mesh,
+                                  chunk_epochs=2)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -116,6 +116,23 @@ def setup_parser(arguments: dict, title: str) -> argparse.ArgumentParser:
             help="restart from the .resume.pt written by a prior "
                  "-checkpoint_every run (bit-identical continuation)",
         )
+    if "early_stop" not in arguments:
+        # finally EARNS the config grid's `patience` field: the reference
+        # ships patience=100 in every JSONL record and imports EarlyStopping
+        # but never instantiates it (src/experiment_main/train.py:4,
+        # src/utils/pytorchtools.py:5-58). Here the flag wires
+        # utils.early_stopping into whichever engine the run uses — the
+        # serial runner, the sharded loop, or a vmapped ensemble (per-replica
+        # patience, EnsembleEarlyStopping). NOTE the cadence: patience counts
+        # chunk-boundary validation CHECKS (one per chunk_epochs=200 epochs),
+        # not epochs — at the reference's patience=100 x 3000-epoch defaults
+        # it never triggers; pass e.g. -patience 3 for a real stop.
+        parser.add_argument(
+            "-early_stop", type=str2bool, default=False,
+            help="enable patience-based early stopping (cfg.patience counts "
+                 "chunk-boundary validation checks, one per ~200 epochs; "
+                 "stops on plateau and keeps the best-check parameters)",
+        )
     if "profile" not in arguments:
         # capture a jax.profiler trace of the run (view with
         # TensorBoard/Perfetto; utils/logging.profile_trace)
@@ -397,6 +414,24 @@ def restart_opts(args):
     means 'off' (None) everywhere."""
     ck = int(getattr(args, "checkpoint_every", 0) or 0)
     return (ck if ck > 0 else None), bool(getattr(args, "resume", False))
+
+
+def early_stopper(args, cfg: "RunConfig", ensemble: bool = False):
+    """`-early_stop` CLI flag -> a fresh early-stopping tracker (or None),
+    thresholded by the config grid's `patience` field. ONE reader shared by
+    every entry point; `ensemble=True` returns the per-replica tracker the
+    stacked-pytree trainers take (parallel/sweep), else the serial/sharded
+    engines' scalar one. A fresh instance per call — patience state must
+    never leak between grid records."""
+    if not bool(getattr(args, "early_stop", False)):
+        return None
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EarlyStopping,
+        EnsembleEarlyStopping,
+    )
+
+    cls = EnsembleEarlyStopping if ensemble else EarlyStopping
+    return cls(patience=cfg.patience, verbose=True)
 
 
 def parse_alphas(args, default):

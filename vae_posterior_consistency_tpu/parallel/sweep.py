@@ -240,9 +240,60 @@ def _make_ensemble_chunk(cfg: RunConfig, model, data, mask, *,
     return run_chunk
 
 
+def _make_ensemble_val_fn(cfg: RunConfig, model, val_x, val_m, *,
+                          per_replica_data=False, alphas=None, missings=None):
+    """Stacked validation objective for per-replica early stopping: one
+    jitted `val_fn(params_ens) -> [S] losses`, the vmapped generalization of
+    engine/train._build_val_fn (whose two pins it keeps — see that
+    docstring): the mask_p/drop draw uses a key FIXED across checks, and the
+    loss evaluates at the FIXED epoch cfg.epoch, so successive checks
+    compare the same objective.
+
+    Validation streams are deliberately SHARED across replicas (one fixed
+    (k_mask, k_model) pair for every row) even in modes whose TRAINING
+    streams are per-replica: the check is a stopping diagnostic, and judging
+    every replica's plateau on identical mask/sample noise is what makes the
+    [S] losses comparable. Per-row alpha/p_missingness still substitute via
+    cfg.replace exactly as in the traced training loss (the swept knob must
+    enter its own row's objective)."""
+    info = cfg.info
+    use_alpha = alphas is not None
+    use_miss = missings is not None
+    fixed_epoch = jnp.float32(cfg.epoch)
+    k_mask, k_model = jax.random.split(
+        jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 0x5A11D))
+
+    def row_loss(p, x, m, alpha, miss):
+        c = cfg.replace(p_missingness=miss) if use_miss else cfg
+        eff_m, mask_p = masks_ops.train_masks(info, c, k_mask, m)
+        if use_alpha:
+            c = c.replace(alpha=alpha)
+        return model.train_loss(p, x, eff_m, mask_p, k_model, fixed_epoch,
+                                c)[0]
+
+    data_ax = 0 if per_replica_data else None
+    axes = (0, data_ax, data_ax, 0 if use_alpha else None,
+            0 if use_miss else None)
+    alpha_v = alphas if use_alpha else 0.0
+    miss_v = missings if use_miss else 0.0
+
+    @jax.jit
+    def val_fn(Pmat):
+        return jax.vmap(row_loss, axes)(Pmat, val_x, val_m, alpha_v, miss_v)
+
+    return val_fn
+
+
+def _val_split(dataset):
+    """Validation split for early stopping: test when present, else train —
+    the serial engine's convention (engine/train.train)."""
+    return dataset.test if dataset.test is not None else dataset.train
+
+
 def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
                  resume_path=None, checkpoint_every=None, resume=False,
-                 shard_fn=None, resume_tag=""):
+                 shard_fn=None, resume_tag="", val_fn=None,
+                 early_stopping=None):
     """Drive an ensemble chunk runner to `epochs`, optionally with the
     serial engine's restart contract (engine/train.train): with
     `checkpoint_every=N` the stacked (params, opt_state, epochs-done) state
@@ -258,7 +309,18 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
     re-applies the mesh layout to freshly-loaded host state (resume would
     otherwise silently un-shard a dp-sharded ensemble). On resume, the
     returned history covers only the epochs run in THIS process (same as
-    the serial engine)."""
+    the serial engine).
+
+    With `val_fn` ([S] stacked validation objective, _make_ensemble_val_fn)
+    and `early_stopping` (utils.early_stopping.EnsembleEarlyStopping), runs
+    a per-replica patience check at every chunk_epochs boundary — the
+    serial engine's cadence — stopping the whole program once EVERY replica
+    has exhausted patience, and returns each replica's own best-epoch
+    parameters (a HOST pytree once any check ran). checkpoint_every must
+    not shift which epochs the checks see, so chunk boundaries pin to
+    chunk_epochs multiples exactly as in engine/train.train. The
+    early-stopping tracker itself is process-local (not persisted in the
+    resume file), matching the serial engine's caller-held EarlyStopping."""
     import os
 
     import numpy as np
@@ -285,6 +347,13 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
         n_e = min(chunk_epochs, epochs - done)
         if checkpoint_every:
             n_e = min(n_e, checkpoint_every - done % checkpoint_every)
+        if val_fn is not None:
+            # pin the validation cadence to chunk_epochs multiples:
+            # checkpoint_every is a pure-restartability knob and must not
+            # change which epochs early stopping validates at (it would
+            # otherwise exhaust patience at a different epoch) — same rule
+            # as engine/train.train
+            n_e = min(n_e, chunk_epochs - done % chunk_epochs)
         Pmat, opt_state, hist = run_chunk(Pmat, opt_state, jnp.asarray(done),
                                           n_e)
         history.append(jax.device_get(hist))
@@ -296,6 +365,14 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
             # cfg.epoch resumes instead of retraining from scratch
             checkpoint.save_resume(Pmat, opt_state, done, resume_path,
                                    tag=resume_tag)
+        if val_fn is not None and (done % chunk_epochs == 0
+                                   or done >= epochs):
+            # the tracker snapshots improved rows to HOST itself (the live
+            # ensemble arrays are donated to the next chunk call)
+            if early_stopping.update(jax.device_get(val_fn(Pmat)), Pmat):
+                break
+    if early_stopping is not None and early_stopping.best_params is not None:
+        Pmat = early_stopping.best_params  # per-replica best rows (host)
     hist = (np.concatenate(history, axis=0).T if history
             else np.zeros((jax.tree_util.tree_leaves(Pmat)[0].shape[0], 0)))
     return Pmat, hist  # [S, epochs_run_here]
@@ -373,7 +450,7 @@ def build_seed_ensemble_runner(dataset, cfg: RunConfig, seeds, mesh=None):
 
 def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
                         mesh=None, checkpoint_every=None, resume=False,
-                        resume_path=None):
+                        resume_path=None, early_stopping=None):
     """Train len(seeds) independent replicas of the same config in one program.
 
     Returns (ensemble_params pytree [S, ...], loss_history [n_seeds, epochs]).
@@ -391,6 +468,12 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
     program. With checkpoint_every/resume, group i writes
     `resume_path + '.g{i}'` so a killed multi-group run resumes
     group-accurately.
+
+    `early_stopping` (utils.early_stopping.EnsembleEarlyStopping) runs a
+    per-replica patience check at every chunk_epochs boundary against the
+    test split (train when absent) and returns each replica's best-epoch
+    params; grouped ultra-wide requests give each sequential group its own
+    tracker (clone_config — groups are disjoint replica rows).
     """
     seeds = list(seeds)  # normalize once — the sequence is consumed twice
     S = len(seeds)
@@ -400,7 +483,9 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
             dataset, cfg, seeds[i:i + g], chunk_epochs=chunk_epochs,
             mesh=mesh, checkpoint_every=checkpoint_every, resume=resume,
             resume_path=(f"{resume_path}.g{i // g}" if resume_path
-                         else None))
+                         else None),
+            early_stopping=(early_stopping.clone_config()
+                            if early_stopping is not None else None))
             for i in range(0, S, g)]
         params = jax.tree_util.tree_map(
             lambda *leaves: jnp.concatenate(leaves, axis=0),
@@ -419,18 +504,23 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
         return params, np.concatenate(hists, axis=0)
     run_chunk, params_ens, opt_state = build_seed_ensemble_runner(
         dataset, cfg, seeds, mesh=mesh)
+    val_fn = None
+    if early_stopping is not None:
+        vs = _val_split(dataset)
+        val_fn = _make_ensemble_val_fn(cfg, get_model(cfg), vs.x, vs.mask)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
         resume_tag=("seed:" + ",".join(str(s) for s in seeds)
-                    + f":batch={cfg.batch_size}"))
+                    + f":batch={cfg.batch_size}"),
+        val_fn=val_fn, early_stopping=early_stopping)
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
                          mesh=None, n_seeds: int = 1, checkpoint_every=None,
-                         resume=False, resume_path=None):
+                         resume=False, resume_path=None, early_stopping=None):
     """Train one replica per DATA SPLIT of the same model family in a single
     batched program — the reference's `vae_type` digit axis
     (reg_vae1/2/3, serial records in Data/imputation_args.json, reference
@@ -504,19 +594,42 @@ def train_split_ensemble(datasets, cfg: RunConfig, chunk_epochs: int = 200,
         # state shards by replica row; the stacked (xs, ms) tables are traced
         # constants whose layout XLA chooses to match the sharded program
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    val_fn = None
+    if early_stopping is not None:
+        # per-replica validation tables: each split's test split (train when
+        # absent), wrap-padded to the group's max val rows — the same ragged
+        # convention as the training tables above (duplicated rows only
+        # reweight a replica's validation MEAN slightly; the check compares
+        # a replica against ITSELF across time, so the objective stays
+        # consistent between checks)
+        vsplits = [_val_split(d) for d in datasets]
+        vn_max = max(v.x.shape[0] for v in vsplits)
+
+        def _vwrap(a):
+            if a.shape[0] == vn_max:
+                return a
+            return jnp.take(a, jnp.arange(vn_max) % a.shape[0], axis=0)
+
+        v_xs = jnp.stack([_vwrap(vsplits[min(i, S - 1)].x)
+                          for i in range(S_run)])
+        v_ms = jnp.stack([_vwrap(vsplits[min(i, S - 1)].mask)
+                          for i in range(S_run)])
+        val_fn = _make_ensemble_val_fn(cfg, model, v_xs, v_ms,
+                                       per_replica_data=True)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
         resume_tag=(f"split:S={S}:n_seeds={n_seeds}:seed={cfg.seed}"
-                    + f":batch={cfg.batch_size}"))
+                    + f":batch={cfg.batch_size}"),
+        val_fn=val_fn, early_stopping=early_stopping)
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
                          chunk_epochs: int = 200, seed: int = 0, mesh=None,
                          checkpoint_every=None, resume=False,
-                         resume_path=None):
+                         resume_path=None, early_stopping=None):
     """Train the reference's alpha sweep axis (serial Python loop at
     src/experiment_main/imputation.py:24) as ONE batched program: a replica
     per regularization strength. CLI surface: `imputation.py -ensemble true
@@ -551,17 +664,23 @@ def train_alpha_ensemble(dataset, cfg: RunConfig, alphas,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    val_fn = None
+    if early_stopping is not None:
+        vs = _val_split(dataset)
+        val_fn = _make_ensemble_val_fn(cfg_seeded, model, vs.x, vs.mask,
+                                       alphas=alphas_v)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag)
+        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag,
+        val_fn=val_fn, early_stopping=early_stopping)
     return _take_rows(params_ens, S), hist[:S]
 
 
 def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
                               chunk_epochs: int = 200, mesh=None,
                               checkpoint_every=None, resume=False,
-                              resume_path=None):
+                              resume_path=None, early_stopping=None):
     """Error-barred alpha sweep: the [n_alphas * n_seeds] replica rows hold
     (alpha a, seed s) at row a * n_seeds + i, trained as ONE program — the
     `-alphas` x `-seeds` CLI composition.
@@ -593,17 +712,23 @@ def train_alpha_seed_ensemble(dataset, cfg: RunConfig, alphas, seeds,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    val_fn = None
+    if early_stopping is not None:
+        vs = _val_split(dataset)
+        val_fn = _make_ensemble_val_fn(cfg, model, vs.x, vs.mask,
+                                       alphas=row_alphas)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
-        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag)
+        resume=resume, shard_fn=_shard_fn(mesh), resume_tag=tag,
+        val_fn=val_fn, early_stopping=early_stopping)
     return _take_rows(params_ens, R), hist[:R]
 
 
 def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
                          seeds=None, chunk_epochs: int = 200, mesh=None,
                          checkpoint_every=None, resume=False,
-                         resume_path=None):
+                         resume_path=None, early_stopping=None):
     """Train the reference's FULL serial sweep product — missing-rate x
     alpha x seed (the two outer serial loops at
     src/experiment_main/imputation.py:23-24, replicated over seeds) — as ONE
@@ -644,12 +769,13 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
             params, hist = train_alpha_seed_ensemble(
                 dataset, cfg1, alphas, seeds, chunk_epochs=chunk_epochs,
                 mesh=mesh, checkpoint_every=checkpoint_every, resume=resume,
-                resume_path=resume_path)
+                resume_path=resume_path, early_stopping=early_stopping)
         else:
             params, hist = train_alpha_ensemble(
                 dataset, cfg1, alphas, chunk_epochs=chunk_epochs,
                 seed=cfg.seed, mesh=mesh, checkpoint_every=checkpoint_every,
-                resume=resume, resume_path=resume_path)
+                resume=resume, resume_path=resume_path,
+                early_stopping=early_stopping)
         return params, hist, rows
     model = get_model(cfg)
     run_rows = list(rows)
@@ -677,12 +803,18 @@ def train_sweep_ensemble(dataset, cfg: RunConfig, missings=None, alphas=None,
     opt_state = tx.init(params_ens)
     if mesh is not None:
         params_ens, opt_state = shard_ensemble(params_ens, opt_state, mesh)
+    val_fn = None
+    if early_stopping is not None:
+        vs = _val_split(dataset)
+        val_fn = _make_ensemble_val_fn(cfg, model, vs.x, vs.mask,
+                                       alphas=row_alphas, missings=row_miss)
     params_ens, hist = _run_chunked(
         run_chunk, params_ens, opt_state, cfg.epoch, chunk_epochs,
         resume_path=resume_path, checkpoint_every=checkpoint_every,
         resume=resume, shard_fn=_shard_fn(mesh),
         resume_tag=("sweep:" + ";".join(f"{m},{a},{s}" for m, a, s in rows)
-                    + f":batch={cfg.batch_size}"))
+                    + f":batch={cfg.batch_size}"),
+        val_fn=val_fn, early_stopping=early_stopping)
     return _take_rows(params_ens, R), hist[:R], rows
 
 

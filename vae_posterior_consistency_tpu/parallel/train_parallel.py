@@ -118,7 +118,8 @@ def dryrun_train_step(cfg: RunConfig, mesh, obs_dim: int = 8,
 def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
                   model=None, save: bool = False,
                   experiments_root: str = "experiments",
-                  checkpoint_every=None, resume: bool = False):
+                  checkpoint_every=None, resume: bool = False,
+                  early_stopping=None):
     """Full multi-chip training loop: the single-device engine's semantics
     (per-epoch permutation, on-device mask_p/drop generation, reference
     1-based epoch indexing, Adam fused in-program — engine/train.py) with
@@ -138,6 +139,13 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
     an uninterrupted one
     (tests/test_parallel.py::test_train_sharded_resume_bit_identical).
     On resume the returned history covers only this process's epochs.
+
+    `early_stopping` (utils.early_stopping.EarlyStopping) carries the serial
+    engine's contract verbatim: a validation pass (test split, train when
+    absent) at every chunk_epochs boundary via the SAME compiled objective
+    (engine/train._build_val_fn — fixed key, fixed epoch), patience stop +
+    best-params restore. The best-params snapshot is a host copy, so it is
+    mesh-independent like the resume file.
 
     Deliberately specialized (not unified with engine/train._build_epoch_runner
     or parallel/sweep's ensembles): all three engines run pytree params, but
@@ -237,11 +245,27 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
         params = jax.device_put(params, p_shard)
         opt_state = jax.device_put(opt_state, opt_shard)
 
+    val_fn = None
+    if early_stopping is not None:
+        from vae_posterior_consistency_tpu.engine.train import _build_val_fn
+
+        vsplit = dataset.test if dataset.test is not None else dataset.train
+        val_fn = _build_val_fn(cfg, model, vsplit.x, vsplit.mask)
+        # same derivation as the serial engine's k_val: train() splits
+        # PRNGKey(cfg.seed) into (k_init, k_run) and folds 0x5A11D into
+        # k_run — mirrored so the two engines validate on the same draw
+        k_val = jax.random.fold_in(jax.random.split(key0)[1], 0x5A11D)
+
     history = []
     while done < cfg.epoch:
         n_e = min(chunk_epochs, cfg.epoch - done)
         if checkpoint_every:
             n_e = min(n_e, checkpoint_every - done % checkpoint_every)
+        if val_fn is not None:
+            # validation cadence pins to chunk_epochs multiples so
+            # checkpoint_every cannot shift which epochs are checked
+            # (serial-engine rule, engine/train.train)
+            n_e = min(n_e, chunk_epochs - done % chunk_epochs)
         params, opt_state, hist = run_chunk(params, opt_state,
                                             jnp.asarray(done), n_e)
         history.append(jax.device_get(hist))
@@ -253,6 +277,15 @@ def train_sharded(dataset, cfg: RunConfig, mesh, chunk_epochs: int = 200,
             checkpoint.save_resume(jax.device_get(params),
                                    jax.device_get(opt_state), done,
                                    resume_path, tag=resume_tag)
+        if val_fn is not None and (done % chunk_epochs == 0
+                                   or done >= cfg.epoch):
+            vloss = float(val_fn(params, k_val))
+            # host snapshot: the live sharded arrays are donated to the
+            # next chunk call
+            if early_stopping.update(vloss, jax.device_get(params)):
+                break
+    if early_stopping is not None and early_stopping.best_params is not None:
+        params = jax.device_put(early_stopping.best_params, p_shard)
     if save:
         # same mangled checkpoint path as the single-chip engine (the layout
         # is mesh-independent: leaves gather to host arrays on save)

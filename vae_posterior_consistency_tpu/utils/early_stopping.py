@@ -52,3 +52,76 @@ class EarlyStopping:
             if self.counter >= self.patience:
                 self.early_stop = True
         return self.early_stop
+
+
+class EnsembleEarlyStopping:
+    """Per-replica early stopping for the stacked-pytree ensemble trainers
+    (parallel/sweep) — the vmapped generalization of `EarlyStopping`.
+
+    `update(val_losses [S], params_ens)` tracks an independent
+    (best_loss, patience counter, best-params row) per replica and returns
+    True only when EVERY replica has exhausted patience — one replica still
+    improving keeps the whole compiled program training (replicas that
+    plateaued earlier simply keep their already-recorded best rows; extra
+    epochs on them are dead weight, exactly like the trainers' dp padding
+    rows). On stop — or at the natural end of training — the trainer
+    returns each replica's own best-epoch parameters, so per-replica
+    stopping needs no masked in-program freezing.
+
+    `best_params` lives on HOST (numpy leaves, leading [S] axis): only the
+    improved rows transfer per check, and the snapshot survives the chunk
+    runner's donated device buffers. The reference has no ensemble concept
+    at all; its (never-instantiated) serial helper is
+    src/utils/pytorchtools.py:5-58.
+    """
+
+    def __init__(self, patience: int = 100, delta: float = 0.0,
+                 verbose: bool = False):
+        self.patience = patience
+        self.delta = delta
+        self.verbose = verbose
+        self.best_loss = None     # np [S] after the first update
+        self.counter = None       # np int [S]
+        self.best_params = None   # host pytree, leading [S] axis per leaf
+        self.early_stop = False
+
+    def clone_config(self) -> "EnsembleEarlyStopping":
+        """Fresh tracker with the same thresholds (no accumulated state) —
+        the grouped ultra-wide seed path gives each sequential group its
+        own tracker (groups are separate compiled programs over disjoint
+        replica rows)."""
+        return EnsembleEarlyStopping(patience=self.patience,
+                                     delta=self.delta, verbose=self.verbose)
+
+    def update(self, val_losses, params_ens) -> bool:
+        import jax
+
+        v = np.asarray(val_losses, dtype=np.float64)
+        first = self.best_loss is None
+        if first:
+            self.best_loss = np.full(v.shape[0], np.inf)
+            self.counter = np.zeros(v.shape[0], dtype=np.int64)
+        improved = v < self.best_loss - self.delta
+        self.counter = np.where(improved, 0, self.counter + 1)
+        self.best_loss = np.where(improved, v, self.best_loss)
+        idx = np.flatnonzero(improved)
+        if first or idx.size == v.shape[0]:
+            # full snapshot: every replica has SOME best row even if its
+            # loss never improves again (e.g. a diverged NaN replica)
+            self.best_params = jax.tree_util.tree_map(
+                lambda leaf: np.array(leaf), params_ens)
+        elif idx.size:
+            # transfer only the improved rows (device fancy-index, then one
+            # host copy per leaf)
+            def put(best, leaf):
+                best[idx] = np.asarray(leaf[idx])
+                return best
+
+            self.best_params = jax.tree_util.tree_map(
+                put, self.best_params, params_ens)
+        if self.verbose:
+            print(f"EnsembleEarlyStopping: {int(improved.sum())}/{v.shape[0]} "
+                  f"improved, counters max {int(self.counter.max())} / "
+                  f"{self.patience}")
+        self.early_stop = bool(np.all(self.counter >= self.patience))
+        return self.early_stop
