@@ -320,7 +320,11 @@ def _run_chunked(run_chunk, Pmat, opt_state, epochs, chunk_epochs,
     not shift which epochs the checks see, so chunk boundaries pin to
     chunk_epochs multiples exactly as in engine/train.train. The
     early-stopping tracker itself is process-local (not persisted in the
-    resume file), matching the serial engine's caller-held EarlyStopping."""
+    resume file), matching the serial engine's caller-held EarlyStopping.
+    The tracker sees ALL rows including any mesh dp-padding: padded rows
+    duplicate a real row's data but (outside seed mode) carry their own
+    init, so they can only DELAY the whole-program stop, never corrupt a
+    real replica's best snapshot (trainers slice [:S] afterwards)."""
     import os
 
     import numpy as np
