@@ -28,7 +28,6 @@ jax.config.update("jax_default_prng_impl", "rbg")  # production default
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.flatten_util import ravel_pytree
 
 from vae_posterior_consistency_tpu.config import RunConfig
 from vae_posterior_consistency_tpu.models import get_model
@@ -44,13 +43,14 @@ def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
     x = jnp.asarray(rng.uniform(0, 1, (batch, OBS_DIM)), jnp.float32)
     m = jnp.asarray(rng.random((batch, OBS_DIM)) < 0.7, jnp.float32)
     params = model.init(jax.random.PRNGKey(key), cfg, OBS_DIM)
-    pflat, unravel = ravel_pytree(params)
     tx = optax.adam(1e-3)
 
-    def loss_fn(pf, k):
+    # pytree params end-to-end — the engine's production layout since the
+    # round-4 re-measurement (engine/train.py; the flat-vector scaffold this
+    # tool carried would misattribute unravel/concat cost to batch scaling)
+    def loss_fn(p, k):
         mp = masks.sub_mask(k, m, cfg.p_missingness)
-        return model.train_loss(unravel(pf), x, m, mp, k, jnp.float32(1.0),
-                                cfg)[0]
+        return model.train_loss(p, x, m, mp, k, jnp.float32(1.0), cfg)[0]
 
     @jax.jit
     def run(p, opt, key0):
@@ -64,7 +64,7 @@ def steady_state_step_rate(cfg, batch, n_timed=2000, key=0):
                                     unroll=4)
         return p, opt, ls[-1]
 
-    p, opt = pflat, tx.init(pflat)
+    p, opt = params, tx.init(params)
     p, opt, last = run(p, opt, jax.random.PRNGKey(1))  # compile + warmup
     float(last)  # readback barrier (block_until_ready can return early here)
     best = 1e9
