@@ -1277,3 +1277,33 @@ def test_train_sharded_early_stopping(tiny_dataset):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(ref_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seed_ensemble_early_stopping_on_mesh(tiny_dataset):
+    """Ensemble early stopping composes with dp-sharding: the vmapped val
+    objective runs on sharded replica rows, host snapshots gather sharded
+    leaves, and the plateau stop + first-check restore match the unsharded
+    contract (padded dp rows duplicate real seeds, so they cannot delay the
+    stop in seed mode)."""
+    from vae_posterior_consistency_tpu.data import loaders
+    from vae_posterior_consistency_tpu.utils.early_stopping import (
+        EnsembleEarlyStopping,
+    )
+
+    ds = loaders.data_loader(tiny_dataset, "vanilla_vae1", 30, 32,
+                             "synth_small")
+    cfg = RunConfig(vae_type="vanilla_vae1", data_type="synth_small",
+                    epoch=20, batch_size=32, latent_dim=4)
+    mesh = meshlib.make_mesh(jax.devices()[:8])
+    es = EnsembleEarlyStopping(patience=1, delta=1e9)
+    # 3 seeds pad to dp=4 rows internally; the tracker sees all 4
+    params, hist = sweep.train_seed_ensemble(ds, cfg, [0, 1, 2],
+                                             chunk_epochs=2, mesh=mesh,
+                                             early_stopping=es)
+    assert hist.shape == (3, 4)  # checks at 2 (improves) and 4 (stop)
+    ref_params, _ = sweep.train_seed_ensemble(ds, cfg.replace(epoch=2),
+                                              [0, 1, 2], chunk_epochs=2,
+                                              mesh=mesh)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(ref_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -496,10 +496,12 @@ def train_seed_ensemble(dataset, cfg: RunConfig, seeds, chunk_epochs: int = 200,
             *[p for p, _ in parts])
         import numpy as np
 
-        # on a resumed run, groups killed at different points ran different
-        # epoch counts in THIS process; left-pad each group's history with
-        # NaN to the longest (all groups end at cfg.epoch, so rows align at
-        # the tail) instead of crashing the concat after training finished
+        # groups may run different epoch counts in THIS process (a resumed
+        # run killed at different points; per-group early stopping firing
+        # at different checks); left-pad each group's history with NaN to
+        # the longest instead of crashing the concat after training
+        # finished. On resume (no ES) all groups end at cfg.epoch, so rows
+        # align at the tail; with ES the rows are per-group records.
         hists = [np.asarray(h) for _, h in parts]
         L = max(h.shape[1] for h in hists)
         hists = [np.pad(h, ((0, 0), (L - h.shape[1], 0)),
