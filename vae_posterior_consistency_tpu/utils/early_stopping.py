@@ -120,8 +120,12 @@ class EnsembleEarlyStopping:
             self.best_params = jax.tree_util.tree_map(
                 put, self.best_params, params_ens)
         if self.verbose:
+            # report exhausted-replica counts, not the max counter: a row's
+            # counter can exceed patience while OTHER rows still improve
+            # (the program only stops when all rows have exhausted)
+            done = int(np.sum(self.counter >= self.patience))
             print(f"EnsembleEarlyStopping: {int(improved.sum())}/{v.shape[0]} "
-                  f"improved, counters max {int(self.counter.max())} / "
-                  f"{self.patience}")
+                  f"improved, {done}/{v.shape[0]} exhausted "
+                  f"(patience {self.patience})")
         self.early_stop = bool(np.all(self.counter >= self.patience))
         return self.early_stop
