@@ -271,10 +271,11 @@ class RunConfig:
     # the sandwich for Gaussian-decoder checkpoints (<0.01 nats measured;
     # the reference ships linear T=500, src/utils/AIS.py:83,98, and never
     # certifies it). The flow family's obs_logvar=-8 likelihood is a much
-    # harder bridge — raise n_ais_dist to >=1000 there (2.5-nat gap
-    # measured at sigmoidal T=1000; ais_eval.py -bdmc true reports it).
-    # eval_ais warns at runtime when a flow checkpoint runs on a
-    # sub-certified default (engine/ais.default_schedule).
+    # harder bridge — its measured sigmoidal gaps are ~2.5 nats at T=1000,
+    # ~0.68 at T=2000, closing (~0.07) at T=4000 (round-5 follow-up in
+    # RESULTS.md; ais_eval.py -bdmc true reports the actual gap). eval_ais
+    # warns at runtime when a flow checkpoint runs below that floor
+    # (engine/ais.default_schedule, FLOW_MIN_AIS_DIST).
     ais_schedule: str = "sigmoidal"
     n_ais_dist: int = 500
     num_estimates: int = 100

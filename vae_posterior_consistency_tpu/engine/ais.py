@@ -165,11 +165,12 @@ def bridge_for(cfg: RunConfig) -> BridgeLik:
     return _BRIDGES[(model.name,)]
 
 
-#: flow-family bridge floor: the BDMC study measured a ~2.5-nat sandwich gap
-#: at sigmoidal T=1000 for the flow checkpoints' obs_logvar=-8 likelihood
-#: (RESULTS.md "AIS/BDMC schedule certification"), so the Gaussian-certified
-#: default T=500 is known-loose there
-FLOW_MIN_AIS_DIST = 1000
+#: flow-family bridge floor: the measured BDMC curve for the flow
+#: checkpoints' obs_logvar=-8 likelihood (sigmoidal gaps: ~2.5 nats at
+#: T=1000, ~0.68 at T=2000, ~0.069 at T=4000 — RESULTS.md "AIS/BDMC
+#: schedule certification" + round-5 follow-up) closes only around T=4000;
+#: the Gaussian-certified default T=500 is far too loose there
+FLOW_MIN_AIS_DIST = 4000
 
 
 def default_schedule(cfg: RunConfig, bridge: BridgeLik | None = None,
@@ -178,20 +179,22 @@ def default_schedule(cfg: RunConfig, bridge: BridgeLik | None = None,
 
     The T=500 sigmoidal default is BDMC-certified only for Gaussian-decoder
     checkpoints (<0.01-nat sandwich gap); the flow family's obs_logvar=-8
-    likelihood is a much harder bridge (~2.5 nats at T=1000). When a flow
-    checkpoint would silently run on a sub-certified temperature count, warn
-    loudly (ADVICE r4 #2) — pass an explicit `schedule` (or raise
-    -n_ais_dist) to size the bridge deliberately; `ais_eval.py -bdmc true`
-    measures the actual gap."""
+    likelihood is a much harder bridge whose measured sigmoidal gaps are
+    ~2.5 nats at T=1000, ~0.68 at T=2000 and ~0.069 at T=4000 (RESULTS.md).
+    When a flow checkpoint would silently run on a sub-certified
+    temperature count, warn loudly (ADVICE r4 #2) — pass an explicit
+    `schedule` (or raise -n_ais_dist) to size the bridge deliberately;
+    `ais_eval.py -bdmc true` measures the actual gap."""
     if (warn and bridge is not None and bridge.family == "flow"
             and cfg.n_ais_dist < FLOW_MIN_AIS_DIST):
         print(
-            f"[ais] WARNING: flow-family checkpoint on the default "
+            f"[ais] WARNING: flow-family checkpoint on a "
             f"{cfg.ais_schedule} T={cfg.n_ais_dist} bridge — certified only "
-            f"for Gaussian decoders; the flow likelihood measured a ~2.5-nat "
-            f"BDMC gap even at T=1000. Raise -n_ais_dist to >= "
-            f"{FLOW_MIN_AIS_DIST} (and run ais_eval.py -bdmc true to "
-            "measure the remaining gap).",
+            f"for Gaussian decoders; the flow likelihood's measured BDMC "
+            f"gap is ~2.5 nats at T=1000 / ~0.7 at T=2000, closing "
+            f"(~0.07) only at sigmoidal T={FLOW_MIN_AIS_DIST}. Raise "
+            f"-n_ais_dist (and run ais_eval.py -bdmc true to measure the "
+            "remaining gap).",
             flush=True,
         )
     return (linear_schedule(cfg.n_ais_dist) if cfg.ais_schedule == "linear"
