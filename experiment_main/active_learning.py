@@ -67,7 +67,14 @@ def _run_grid(records):
     probe = setup_parser(records[0], "impute_eval").parse_args()
     alphas = parse_alphas(probe, ALPHA_SWEEP)
     missings = parse_missings(probe, MISSING_SWEEP)
+    ensemble = bool(getattr(probe, "ensemble", False))
     for record in records:
+        if ensemble:
+            # -ensemble true: the (alpha x seed) episode replicas run as
+            # ONE vmapped program per missing rate (imputation.py's flag
+            # matrix, on the AL pipeline)
+            _run_sweep_ensemble(record, missings, alphas)
+            continue
         for missing in missings:
             for alpha in alphas:
                 args = setup_parser(record, "impute_eval").parse_args()
@@ -129,6 +136,97 @@ def _run_seed_ensemble(cfg, ds, mesh, n_seeds, tag):
     print("  seed-0 info curve: " + " ".join(f"{v:.4f}" for v in curve0))
     print(f"  [timing] {n_seeds}-seed episode "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def _run_sweep_ensemble(record, missings, alphas):
+    """`-ensemble true`: this record's (alpha x seed) pre-trained episode
+    replicas run as ONE vmapped program PER MISSING RATE.
+
+    NEITHER swept knob enters the episode math: the rewards are
+    encoder-KL / flow log-prob ratios (engine/active_learning.py never
+    reads cfg.alpha), and every family's eval_step imputes from the
+    q branch only, so the engine's cfg.p_missingness-rated mask_p stream
+    is "computed but unused by the reward" (engine comment) — the knobs
+    matter solely through WHICH trained checkpoint a replica loads (reg
+    checkpoint names embed both). Rates are grouped one engine call per
+    rate only because cfg parameterizes that (inert) mask_p stream; the
+    second rate hits the compiled-program cache, so the grouping costs one
+    dispatch, not one compile. Row order within a call: alpha-major,
+    seed-minor (row ai * n_seeds + si). Consequence worth knowing: a
+    VANILLA config (one checkpoint regardless of knobs) reports identical
+    episodes at every rate — that is correct, not a bug.
+
+    Vanilla configs are alpha-free in their checkpoint names, so their
+    alpha axis collapses to one cell; their AL artifact names carry neither
+    alpha nor p_missingness (artifacts.active_learning_paths), so with a
+    swept `-missings` only the FIRST rate's artifacts are written (the
+    reference contract has one artifact set per config) — every rate's
+    metrics still print. Reg cells save at their own reference paths
+    (names embed alpha + p_missingness) with `.seed{s}` siblings."""
+    from vae_posterior_consistency_tpu.engine import artifacts, checkpoint
+    from vae_posterior_consistency_tpu.models import get_model
+
+    args = setup_parser(record, "impute_eval").parse_args()
+    cfg0 = RunConfig.from_args(args, alpha=alphas[0],
+                               p_missingness=missings[0])
+    apply_rng_impl(cfg0)
+    ds = loaders.data_loader(cfg0.data_path, cfg0.vae_type,
+                             cfg0.missing_rate, cfg0.batch_size,
+                             cfg0.data_type)
+    mesh = resolve_mesh(cfg0)
+    tag = f" mesh={dict(mesh.shape)}" if mesh is not None else ""
+    n_seeds = max(1, int(getattr(args, "seeds", 1)))
+    reg = cfg0.info.regularized
+    cfg_alphas = list(alphas) if reg else list(alphas[:1])
+    model = get_model(cfg0)
+    note = "" if reg else " (vanilla: alpha-free checkpoints, one cell)"
+    seed_tag = f", seeds={n_seeds}" if n_seeds > 1 else ""
+    print(f"=== active learning {cfg0.vae_type} (ensemble, "
+          f"missings={list(missings)}, alphas={cfg_alphas}{seed_tag})"
+          f"{tag}{note} ===", flush=True)
+    import jax.numpy as jnp
+
+    for mi, m in enumerate(missings):
+        # stack the (alpha x seed) replica checkpoints for this rate
+        parts = [checkpoint.load_seed_ensemble(
+            cfg0.replace(alpha=a, p_missingness=m), model, ds.obs_dim,
+            n_seeds) for a in cfg_alphas]
+        params_ens = jax.tree_util.tree_map(
+            lambda *ls: jnp.concatenate(ls, axis=0), *parts)
+        t0 = time.perf_counter()
+        out = al_engine.active_learning_ensemble(
+            np.asarray(ds.test.x), np.asarray(ds.test.mask),
+            cfg0.replace(p_missingness=m), params_ens, Repeat=1, mesh=mesh,
+            save=False)
+        host = {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+        for ai, a in enumerate(cfg_alphas):
+            cfg_ma = cfg0.replace(alpha=a, p_missingness=m)
+            finals = host["information_curve"][
+                ai * n_seeds:(ai + 1) * n_seeds, 0, 0, -1]
+            line = (f"final target-MSE={finals.mean():.5f}"
+                    f"±{finals.std():.5f}  "
+                    + " ".join(f"s{si}={v:.5f}"
+                               for si, v in enumerate(finals))
+                    if n_seeds > 1
+                    else f"final target-MSE={float(finals[0]):.5f}")
+            print(f"  missing={m} alpha={a:g} {line}")
+            if reg or mi == 0:  # vanilla artifact names carry neither knob
+                paths = artifacts.active_learning_paths(cfg_ma,
+                                                        "experiments")
+                for si in range(n_seeds):
+                    r = ai * n_seeds + si
+                    for name in ("information_curve", "action", "R_hist",
+                                 "im"):
+                        artifacts.save_tensor(
+                            host[name][r],
+                            paths[name] + checkpoint.seed_suffix(si))
+                artifacts.log_metric(
+                    cfg_ma, "al_final_mse",
+                    host["information_curve"][ai * n_seeds, :, 0, -1],
+                    "test", "experiments")
+        print(f"  [timing] missing={m} "
+              f"{len(cfg_alphas) * n_seeds}-replica episode "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
