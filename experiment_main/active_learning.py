@@ -44,6 +44,7 @@ from vae_posterior_consistency_tpu.config import (
     resolve_mesh,
     parse_alphas,
     parse_missings,
+    restrict_grid_records,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -68,6 +69,10 @@ def _run_grid(records):
     alphas = parse_alphas(probe, ALPHA_SWEEP)
     missings = parse_missings(probe, MISSING_SWEEP)
     ensemble = bool(getattr(probe, "ensemble", False))
+    if ensemble:
+        # `-vae_type` restricts the grid in ensemble mode (shared helper;
+        # the serial loop keeps the reference's override-per-record parse)
+        records = restrict_grid_records(records, probe)
     for record in records:
         if ensemble:
             # -ensemble true: the (alpha x seed) episode replicas run as

@@ -45,6 +45,7 @@ from vae_posterior_consistency_tpu.config import (
     parse_missings,
     resolve_mesh,
     restart_opts,
+    restrict_grid_records,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -486,22 +487,11 @@ def main():
 def _run_grid(records, probe):
     if probe.ensemble:
         # ensemble mode groups records by family, so a `-vae_type` override
-        # restricts the grid to the matching record instead of being
-        # silently clobbered by each record's default (the serial grid
-        # applies the override to EVERY record — reference parse-per-record
-        # contract; that makes no sense for family-grouped ensembles).
-        # Undetectable edge: explicitly passing record[0]'s own default.
-        if probe.vae_type != records[0]["vae_type"]["default"]:
-            matching = [r for r in records
-                        if r["vae_type"]["default"] == probe.vae_type]
-            if not matching:
-                raise SystemExit(
-                    f"-ensemble true cannot apply -vae_type "
-                    f"{probe.vae_type!r}: not a grid record — run without "
-                    "-ensemble to train a custom single config")
-            print(f"[ensemble mode] -vae_type {probe.vae_type}: grid "
-                  f"restricted to its record", flush=True)
-            records = matching
+        # restricts the grid to the matching record (config.py helper shared
+        # with the MNAR/AL ensemble modes) instead of being silently
+        # clobbered by each record's default — the serial grid applies the
+        # override to EVERY record, the reference parse-per-record contract.
+        records = restrict_grid_records(records, probe)
         alphas = parse_alphas(probe, ALPHA_SWEEP)
         missings = parse_missings(probe, MISSING_SWEEP)
         n_seeds = max(1, int(getattr(probe, "seeds", 1)))

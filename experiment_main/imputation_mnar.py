@@ -44,6 +44,7 @@ from vae_posterior_consistency_tpu.config import (
     parse_alphas,
     parse_missings,
     restart_opts,
+    restrict_grid_records,
     setup_parser,
 )
 from vae_posterior_consistency_tpu.data import loaders
@@ -82,6 +83,9 @@ def _run_grid(records):
         print("[ensemble mode] MNAR sweeps run as vmapped ensembles; PRNG "
               "streams differ from the serial path (PARITY.md deviation "
               "#8)", flush=True)
+        # `-vae_type` restricts the grid in ensemble mode (shared helper;
+        # the serial nest keeps the reference's override-per-record parse)
+        records = restrict_grid_records(records, probe)
         for record in records:
             _run_sweep_ensemble(record, missings, alphas)
         return

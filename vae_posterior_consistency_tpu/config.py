@@ -417,6 +417,29 @@ def restart_opts(args):
     return (ck if ck > 0 else None), bool(getattr(args, "resume", False))
 
 
+def restrict_grid_records(records, probe):
+    """Ensemble-mode `-vae_type` semantics, ONE definition for every entry
+    point's `-ensemble true` path: restrict the JSONL grid to the matching
+    record instead of letting the override clobber EVERY record's defaults
+    (the serial grids apply the override per record — the reference's
+    parse-per-record contract — which for grouped/vmapped ensemble modes
+    would run the same vae_type under each record's unrelated
+    missing_rate/epoch defaults). Undetectable edge: explicitly passing
+    record[0]'s own default. Raises SystemExit for a non-grid vae_type."""
+    if probe.vae_type == records[0]["vae_type"]["default"]:
+        return records
+    matching = [r for r in records
+                if r["vae_type"]["default"] == probe.vae_type]
+    if not matching:
+        raise SystemExit(
+            f"-ensemble true cannot apply -vae_type {probe.vae_type!r}: "
+            "not a grid record — run without -ensemble to drive a custom "
+            "single config")
+    print(f"[ensemble mode] -vae_type {probe.vae_type}: grid restricted "
+          f"to its record", flush=True)
+    return matching
+
+
 def early_stopper(args, cfg: "RunConfig", ensemble: bool = False):
     """`-early_stop` CLI flag -> a fresh early-stopping tracker (or None),
     thresholded by the config grid's `patience` field. ONE reader shared by
