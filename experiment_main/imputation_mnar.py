@@ -194,10 +194,12 @@ def _run_sweep_ensemble(record, missings, alphas):
     seed) product trained as ONE vmapped program
     (parallel/sweep.train_sweep_ensemble — the MCAR suite's machinery; row
     (mi * A + ai) * S + si holds (missings[mi], alphas[ai], seed si)), then
-    evaluated in one compiled MNAR pass PER RATE: mask_p's rate enters the
-    reg families' eval forward, while the imputation itself is q-branch and
-    alpha-free, so rows of one rate share a vmapped eval program across
-    alphas. Vanilla configs are alpha-free in training and mask_p-free in
+    evaluated in one compiled MNAR pass PER RATE. The per-rate grouping
+    pairs each rate's own TRAINED checkpoints under one shared-cfg vmapped
+    program; every family's eval_step imputes from the q branch only, so
+    the cfg-rated mask_p stream is inert in the RMSE itself and the second
+    rate hits the compiled-program cache (one dispatch, not one compile).
+    Vanilla configs are alpha/rate-free in training and mask_p-free in
     MNAR imputation, so their sweep axes collapse to the first cell
     (trained + evaluated once per seed — the reference's serial loops
     would retrain them per cell, src/experiment_main/imputation_mnar.py:
