@@ -484,3 +484,42 @@ def test_save_many_roundtrips_each_replica(tmp_path):
         for a, b in zip(jax.tree_util.tree_leaves(got),
                         jax.tree_util.tree_leaves(orig)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restrict_grid_records_modes():
+    """config.restrict_grid_records — the ensemble-mode `-vae_type`
+    contract shared by all three entry points (PARITY.md round-5 note):
+    record[0]'s own default passes the full grid through, any other grid
+    vae_type restricts to exactly its record (so the ensemble trains under
+    THAT record's defaults, not record[0]'s), and a non-grid vae_type is a
+    hard SystemExit instead of silently training a custom config under
+    every record's unrelated defaults."""
+    import pytest
+
+    from vae_posterior_consistency_tpu.config import restrict_grid_records
+    from vae_posterior_consistency_tpu.data.default_configs import (
+        mcar_records,
+    )
+
+    records = mcar_records()
+
+    class _Probe:
+        def __init__(self, vt):
+            self.vae_type = vt
+
+    # record[0]'s own default: full grid unchanged (the undetectable-edge
+    # case documented in the docstring)
+    assert restrict_grid_records(records, _Probe(
+        records[0]["vae_type"]["default"])) is records
+
+    # a non-first grid vae_type: exactly its own record(s), defaults intact
+    target = records[3]["vae_type"]["default"]
+    got = restrict_grid_records(records, _Probe(target))
+    assert [r["vae_type"]["default"] for r in got] == [
+        r["vae_type"]["default"] for r in records
+        if r["vae_type"]["default"] == target]
+    assert got[0] is records[3]
+
+    # not a grid record at all: SystemExit with the -ensemble hint
+    with pytest.raises(SystemExit, match="not a grid record"):
+        restrict_grid_records(records, _Probe("no_such_vae_type"))
