@@ -81,3 +81,35 @@ def test_cli_early_stop_smoke(tmp_path, tiny_dataset):
     ck = (tmp_path / "experiments" / "UCI_experiments_consistency_missingness"
           / "synth_small" / "checkpoints" / "vanilla_vae")
     assert (ck / "checkpoint_vanilla_vae1_30_missing_rate_test.pt").exists()
+
+
+def test_ensemble_vae_type_restricts_grid(tmp_path, tiny_dataset):
+    """`-ensemble true -vae_type X` trains ONLY record X's config
+    (config.restrict_grid_records, shared by all entry points): the other
+    record's checkpoints must NOT appear, the restriction banner prints,
+    and X trains under its OWN record defaults (missing_rate 50 here —
+    record[0]'s is 30, so a leaked override would write a
+    `..._30_missing_rate_...` checkpoint instead)."""
+    common = dict(data_type="synth_small", epoch=4, batch_size=16, M=2,
+                  train_k=2, valid_k=3, latent_dim=4, hid_dim=64)
+    make_sandbox(tmp_path, tiny_dataset, [
+        grid_record(vae_type="reg_MIWAE1", missing_rate=30, **common),
+        grid_record(vae_type="vanilla_vae1", missing_rate=50, **common),
+    ])
+
+    out = subprocess.run(
+        ["python3", entry("imputation.py"),
+         "-ensemble", "true", "-seeds", "2", "-vae_type", "vanilla_vae1"],
+        cwd=tmp_path, env=cli_env(), capture_output=True, text=True,
+        timeout=580)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "grid restricted" in out.stdout, out.stdout[-2000:]
+
+    ck_root = (tmp_path / "experiments"
+               / "UCI_experiments_consistency_missingness" / "synth_small"
+               / "checkpoints")
+    vae_ck = (ck_root / "vanilla_vae"
+              / "checkpoint_vanilla_vae1_50_missing_rate_test.pt")
+    assert vae_ck.exists(), sorted(ck_root.rglob("*"))
+    miwae_hits = [p for p in ck_root.rglob("*.pt*") if "MIWAE" in p.name]
+    assert not miwae_hits, miwae_hits
